@@ -1,0 +1,230 @@
+"""Vectorized Arrow kernels — the engine's non-relational surface.
+
+Reference analogs (SURVEY.md §2.9): the numeric per-record kernels U1-U10
+(wavelet filter, R-peak detection, SampEn, periodogram). The graft swaps
+signal kernels for image kernels with identical plumbing: `bytes:binary` in,
+typed feature columns out, always Arrow-batched pandas UDFs / mapInPandas /
+applyInPandas — never per-row Python UDFs (BASELINE.json input_hint).
+
+Kernel inventory:
+- ``decode_stats``       (U1/U3 analog) — decode payload, per-image pixel stats.
+- ``phash_check``        (U2 analog)    — recompute pHash from bytes, compare.
+- ``psnr_roundtrip``     (payload invariant) — re-encode lossy, PSNR vs decode.
+- ``sample_entropy_agg`` (U4)           — per-entity SampEn m=1,2 UDAF with the
+                                          reference's NaN->-2 / Inf->-1 patch.
+- ``fft_band_power_agg`` (U6)           — per-entity periodogram band powers.
+
+Scale notes: decode cost is per-row CPU with zero shuffle (mapInPandas rides
+the scan partitioning); batch memory is bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch (session.py). Grouped kernels
+shuffle once on the entity key; entity groups are bounded (events-per-entity),
+so no group outgrows a task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ecg_feature_engineering_spark.datagen import codecs
+
+DECODE_STATS_FIELDS = (
+    "px_mean double, px_std double, luma_mean double, luma_std double, "
+    "r_mean double, g_mean double, b_mean double, decoded_w int, decoded_h int"
+)
+
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _decode_one(data: bytes, fmt: str) -> np.ndarray:
+    return codecs.decode(data, fmt)
+
+
+def decode_stats(df, id_col: str = "image_id", bytes_col: str = "bytes",
+                 fmt_col: str = "fmt", keep: list[str] | None = None):
+    """Decode the binary payload and emit per-image pixel statistics — the
+    graft analog of the reference's per-record signal-stats extraction
+    (extract_HRV.py:30-33 payload read + lead projection).
+
+    Runs as ``mapInPandas`` over the scan partitions: no shuffle, bounded
+    Arrow batches, payload column pruned immediately after decode.
+    """
+    keep = keep if keep is not None else [id_col]
+    out_schema = ", ".join(
+        f"{c} {dict(zip(df.schema.names, (f.dataType.simpleString() for f in df.schema.fields)))[c]}"
+        for c in keep
+    ) + ", " + DECODE_STATS_FIELDS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            stats = np.empty((n, 7), dtype=np.float64)
+            dims = np.empty((n, 2), dtype=np.int32)
+            data_col = b[bytes_col].to_numpy()
+            fmts = b[fmt_col].to_numpy()
+            for i in range(n):
+                px = _decode_one(data_col[i], fmts[i]).astype(np.float64)
+                luma = px @ _LUMA
+                stats[i] = (
+                    px.mean(), px.std(), luma.mean(), luma.std(),
+                    px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(),
+                )
+                dims[i] = (px.shape[1], px.shape[0])
+            out = b[keep].copy()
+            out[["px_mean", "px_std", "luma_mean", "luma_std",
+                 "r_mean", "g_mean", "b_mean"]] = stats
+            out["decoded_w"] = dims[:, 0]
+            out["decoded_h"] = dims[:, 1]
+            yield out
+
+    return df.select(*keep, bytes_col, fmt_col).mapInPandas(run, schema=out_schema)
+
+
+def phash_check(df, id_col: str = "image_id", bytes_col: str = "bytes",
+                fmt_col: str = "fmt", phash_col: str = "phash"):
+    """Recompute the 64-bit pHash from the payload and compare with the stored
+    column (U2 analog: event/fingerprint extraction from raw payload)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recomputed = np.array(
+                [codecs.phash64(_decode_one(d, f))
+                 for d, f in zip(b[bytes_col].to_numpy(), b[fmt_col].to_numpy())],
+                dtype=np.int64,
+            )
+            yield pd.DataFrame({
+                id_col: b[id_col],
+                "phash_stored": b[phash_col].astype("int64"),
+                "phash_recomputed": recomputed,
+                "hamming": np.array([
+                    bin((int(a) ^ int(r)) & ((1 << 64) - 1)).count("1")
+                    for a, r in zip(b[phash_col], recomputed)
+                ], dtype=np.int32),
+            })
+
+    return df.select(id_col, bytes_col, fmt_col, phash_col).mapInPandas(
+        run, schema=f"{id_col} string, phash_stored long, "
+                    "phash_recomputed long, hamming int")
+
+
+def psnr_roundtrip(df, id_col: str = "image_id", bytes_col: str = "bytes",
+                   fmt_col: str = "fmt"):
+    """Payload invariant (BASELINE.json input_hint): decode -> re-encode ->
+    decode, PSNR between the two decodes. Lossless formats must be inf/exact;
+    lossy must stay >= 40 dB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for d, f in zip(b[bytes_col].to_numpy(), b[fmt_col].to_numpy()):
+                px = _decode_one(d, f)
+                px2 = codecs.decode(codecs.encode(px, f), f)
+                p = codecs.psnr(px, px2)
+                rows.append(min(p, 999.0))
+            yield pd.DataFrame({id_col: b[id_col], "fmt": b[fmt_col],
+                                "psnr_db": np.array(rows)})
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
+        run, schema=f"{id_col} string, fmt string, psnr_db double")
+
+
+# ------------------------------------------------------------------ SampEn
+def sample_entropy_np(x: np.ndarray, m_max: int = 2, r: float | None = None
+                      ) -> np.ndarray:
+    """Sample entropy for m = 1..m_max (public Richman-Moorman definition):
+    SampEn(m) = -ln(A_m / B_m) with A_m = #template pairs (i<j) of length m+1
+    within Chebyshev distance <= r, B_m likewise for length m. r defaults to
+    0.2 * population std (the reference's tolerance, HRV_features.py:132-134).
+    Matches the reference's output patching: nan -> -2, inf -> -1
+    (HRV_features.py:135-139)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.full(m_max, -2.0)
+    if n < m_max + 2:
+        return out
+    if r is None:
+        r = 0.2 * x.std()
+    counts = []
+    for m in range(1, m_max + 2):
+        k = n - m + 1
+        templ = np.lib.stride_tricks.sliding_window_view(x, m)  # (k, m)
+        # pairwise Chebyshev distances, vectorized; k is bounded per entity
+        d = np.abs(templ[:, None, :] - templ[None, :, :]).max(axis=2)
+        iu = np.triu_indices(k, 1)
+        counts.append(np.count_nonzero(d[iu] <= r))
+    for m in range(1, m_max + 1):
+        b, a = counts[m - 1], counts[m]
+        if b == 0 or a == 0:
+            out[m - 1] = -2.0 if b == 0 else -1.0  # nan / inf patch
+        else:
+            out[m - 1] = -np.log(a / b)
+    return out
+
+
+def sample_entropy_agg(df, value: str = "value", by: str = "entity_id",
+                       order: str = "ts", m_max: int = 2):
+    """Per-entity SampEn UDAF (U4) via applyInPandas — the reference's only
+    genuinely non-relational aggregate (QRS_features.py:59-246, O(n²) state
+    machine; here vectorized numpy per group)."""
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values(order)[value].to_numpy()
+        se = sample_entropy_np(x, m_max=m_max)
+        row = {by: pdf[by].iloc[0]}
+        for m in range(1, m_max + 1):
+            row[f"sampen{m}"] = se[m - 1]
+        return pd.DataFrame([row])
+
+    by_type = dict(zip(df.schema.names,
+                       (f.dataType.simpleString() for f in df.schema.fields)))[by]
+    schema = f"{by} {by_type}, " + ", ".join(
+        f"sampen{m} double" for m in range(1, m_max + 1))
+    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+
+
+# ------------------------------------------------------------- periodogram
+def periodogram_np(x: np.ndarray, fs: float) -> tuple[np.ndarray, np.ndarray]:
+    """One-sided boxcar periodogram, density scaling — the public
+    scipy.signal.periodogram default contract (U6 analog,
+    LONG_features.py:129-138), implemented on numpy.fft."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    spec = np.fft.rfft(x)
+    pxx = (spec.real**2 + spec.imag**2) / (fs * n)
+    pxx[1:] *= 2.0
+    if n % 2 == 0 and len(pxx) > 1:
+        pxx[-1] /= 2.0
+    freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+    return freqs, pxx
+
+
+def fft_band_power_agg(df, value: str = "value", by: str = "entity_id",
+                       order: str = "ts", fs: float = 1.0,
+                       bands: list[tuple[float, float]] | None = None):
+    """Per-entity spectral band powers (A16/U6): periodogram then band sums.
+    Band edges follow the reference's [lo, hi) half-open convention."""
+    bands = bands or [(0, 0.05), (0.05, 0.1), (0.1, 0.2),
+                      (0.2, 0.3), (0.3, 0.4), (0.4, 0.5)]
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values(order)[value].to_numpy()
+        row = {by: pdf[by].iloc[0]}
+        if len(x) < 4:
+            for i in range(len(bands)):
+                row[f"band{i}"] = 0.0  # reference zero-fill for short series
+            row["total_power"] = 0.0
+        else:
+            freqs, pxx = periodogram_np(x, fs)
+            for i, (lo, hi) in enumerate(bands):
+                row[f"band{i}"] = float(pxx[(freqs >= lo) & (freqs < hi)].sum())
+            row["total_power"] = float(pxx.sum())
+        return pd.DataFrame([row])
+
+    by_type = dict(zip(df.schema.names,
+                       (f.dataType.simpleString() for f in df.schema.fields)))[by]
+    schema = (f"{by} {by_type}, "
+              + ", ".join(f"band{i} double" for i in range(len(bands)))
+              + ", total_power double")
+    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)

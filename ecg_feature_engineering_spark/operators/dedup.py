@@ -1,0 +1,231 @@
+"""Deduplication operators for web-scale training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+The reference has only a blacklist anti-filter (preprocess-300hz.py:93-98,
+SURVEY.md P3); these are the first-class scale additions the build contract
+asks for. Shapes:
+
+- exact:        one hash-groupBy on a normalized fingerprint. One shuffle.
+- ngram_jaccard: shingle -> explode -> self-equijoin on shingle -> group by
+                 pair -> |∩|; |∪| from per-doc shingle counts. Classic
+                 SQL-expressible near-dup (oracle-parity safe via md5-free
+                 pure string shingles).
+- minhash_lsh:  k=64 permutation-style hashes over shingle ints, banded into
+                 b bands x r rows; candidate pairs = equijoin on
+                 (band, band-signature). Avoids the O(n²) pair space; the
+                 band join is the only shuffle.
+- simhash:      64-bit bit-vote fingerprint per doc (Arrow kernel), near-dups
+                 = hamming <= t within LSH buckets on bit-prefixes.
+- embedding near-dup: see operators/similarity.py (cosine >= threshold).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecg_feature_engineering_spark.operators.text import fingerprint
+
+# 64 fixed odd multipliers for the k minhash permutations h_i(x) = a_i*x+b_i mod p
+_MINHASH_PRIME = (1 << 61) - 1
+_MINHASH_SEED = 0x5EED
+
+
+def _minhash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(_MINHASH_SEED)
+    a = rng.integers(1, _MINHASH_PRIME, k, dtype=np.int64)
+    b = rng.integers(0, _MINHASH_PRIME, k, dtype=np.int64)
+    return a, b
+
+
+def exact_dups(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups on the normalized-text fingerprint; returns
+    (fingerprint, n_dups, doc_ids) for groups with n >= 2."""
+    return (
+        fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint."""
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fingerprint(df, text_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "fingerprint")
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out: str = "shingle") -> DataFrame:
+    """Distinct word n-gram shingles per doc (lowercased, ws-normalized).
+    Docs shorter than n words produce their full token join as one shingle."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    n_tok = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return df.withColumn(out, F.explode(F.array_distinct(sh)))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Plan: shingle-explode -> self-equijoin on shingle (the only shuffle; AQE
+    skew-join splits hot shingles) -> per-pair intersection counts -> sizes
+    joined back -> Jaccard. Emits (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = word_shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("id"), "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes).withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(F.broadcast(sizes).withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       k: int = 64) -> DataFrame:
+    """k-permutation MinHash signature per doc. Shingles are hashed to int64
+    with xxhash64 (JVM-side), then the k affine permutations + per-doc min
+    run in one grouped aggregate — map-side partial min, single shuffle."""
+    a, b = _minhash_params(k)
+    sh = word_shingles(df.select(id_col, text_col), text_col, n)
+    x = F.abs(F.xxhash64("shingle")) % F.lit(_MINHASH_PRIME)
+    mins = [
+        F.min((x * F.lit(int(a[i])) + F.lit(int(b[i]))) % F.lit(_MINHASH_PRIME))
+        .alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3, k: int = 64,
+                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the k-sig into ``bands`` groups
+    of r = k/bands rows, bucket-join on (band_idx, band_signature), then
+    verify candidates with the estimated Jaccard (fraction of equal minhashes).
+
+    This is the scale path: candidate generation never enumerates O(n²) pairs
+    — only same-bucket collisions shuffle.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    band_structs = F.array(*[
+        F.struct(F.lit(bi).alias("band"),
+                 F.concat_ws("_", *[F.col(f"mh{bi * r + j}").cast("string")
+                                    for j in range(r)]).alias("key"))
+        for bi in range(bands)
+    ])
+    banded = (
+        sig.withColumn("b", F.explode(band_structs))
+        .select(F.col(id_col).alias("id"), F.col("b.band"), F.col("b.key"))
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.key") == F.col("y.key"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sx = sig.alias("sx")
+    sy = sig.alias("sy")
+    eq = sum(
+        F.when(F.col(f"sx.mh{i}") == F.col(f"sy.mh{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        cand.join(sx, F.col("id_a") == F.col(f"sx.{id_col}"))
+        .join(sy, F.col("id_b") == F.col(f"sy.{id_col}"))
+        .select("id_a", "id_b", (eq / F.lit(k)).alias("jaccard_est"))
+        .where(F.col("jaccard_est") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc (Arrow kernel): md5-derived 64-bit hash per
+    token, per-bit +1/-1 vote weighted by token frequency, sign -> bit."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for did, text in zip(batch[id_col], batch[text_col]):
+                toks = str(text).lower().split()
+                votes = np.zeros(64, dtype=np.int64)
+                for t in toks:
+                    hv = int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "big")
+                    bits = (hv >> np.arange(64)) & 1
+                    votes += 2 * bits - 1
+                sh = int(((votes > 0).astype(np.uint64)
+                          << np.arange(64, dtype=np.uint64)).sum())
+                if sh >= 1 << 63:
+                    sh -= 1 << 64
+                out.append({id_col: did, "simhash": sh})
+            yield pd.DataFrame(out, columns=[id_col, "simhash"])
+
+    id_type = dict(zip(df.schema.names,
+                       (f.dataType.simpleString() for f in df.schema.fields)))[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, simhash long")
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dups: bucket on 16-bit prefixes (4 rotations so any pair
+    within hamming<=3 shares at least one exact 16-bit block — pigeonhole),
+    then verify hamming distance JVM-side with bit_count(xor)."""
+    sig = simhash64(df, text_col, id_col)
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("blk"),
+                 F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for i in range(4)
+    ])
+    bucketed = (sig.withColumn("b", F.explode(blocks))
+                .select(F.col(id_col).alias("id"), "simhash",
+                        F.col("b.blk"), F.col("b.key")))
+    cand = (
+        bucketed.alias("x")
+        .join(bucketed.alias("y"),
+              (F.col("x.blk") == F.col("y.blk"))
+              & (F.col("x.key") == F.col("y.key"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+                .alias("hamming"))
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

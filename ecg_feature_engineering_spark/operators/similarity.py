@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor / similarity search over embedding columns.
+
+Scale additions per the build contract. Two paths:
+
+- ``cosine_topk``  — brute-force exact baseline: broadcast the (small) query
+  set against the corpus, JVM-side dot products via F.zip_with/F.aggregate
+  (no Python), top-k per query via window. Cost O(|Q|·|C|) — the correctness
+  oracle and the right choice when |Q| is small.
+- ``lsh_topk``     — random-hyperplane (sign) LSH bucketing: probe only
+  same-bucket candidates across ``tables`` independent hash tables. The 100 TB
+  path: corpus is bucketed once (one shuffle), probes are bucket-local.
+- ``cosine_near_dup_pairs`` — embedding near-duplicate detection
+  (cosine >= threshold) over LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HYPERPLANE_SEED = 0xA11CE  # fixed seed for hyperplane draws
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str | None = None) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it must be small — this is the exact
+    baseline); corpus-side scan stays partition-local, no shuffle until the
+    final per-query top-k window on |Q|·k rows.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    rng = np.random.default_rng([_HYPERPLANE_SEED, table])
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, vec_col: str = "embedding",
+                    n_planes: int = 8, table: int = 0,
+                    out: str = "bucket") -> DataFrame:
+    """Sign-LSH bucket id: bit b = (v · plane_b) > 0, packed to an int.
+    Planes are deterministic from (seed, table); the dot products are
+    JVM-side fold expressions — no Python, no shuffle."""
+    planes = _hyperplanes(dim, n_planes, table)
+    bucket = F.lit(0)
+    for b in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        bit = F.when(_dot(F.col(vec_col), plane) > 0, 1).otherwise(0)
+        bucket = bucket * 2 + bit
+    return df.withColumn(out, bucket)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 8, tables: int = 4) -> DataFrame:
+    """ANN top-k: union of ``tables`` independent sign-LSH tables; candidates
+    are same-bucket rows only; exact cosine re-ranks candidates. Recall grows
+    with ``tables``; cost is bucket-local instead of O(|Q|·|C|)."""
+    cands = None
+    for t in range(tables):
+        cb = with_lsh_bucket(corpus, dim, vec_col, n_planes, t, "bucket")
+        qb = with_lsh_bucket(queries, dim, vec_col, n_planes, t, "bucket")
+        pair = (
+            cb.select(F.col(id_col).alias("neighbor_id"), "bucket",
+                      F.col(vec_col).alias("__cv"))
+            .join(qb.select(F.col(id_col).alias("query_id"), "bucket",
+                            F.col(vec_col).alias("__qv")), "bucket")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "__qv", "__cv")
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    scored = (
+        cands.dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id",
+                cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_planes: int = 10, tables: int = 6) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) via LSH buckets —
+    the embedding-space member of the dedup family (operators/dedup.py)."""
+    pairs = None
+    for t in range(tables):
+        b = with_lsh_bucket(df, dim, vec_col, n_planes, t, "bucket")
+        x = b.select(F.col(id_col).alias("id_a"), F.col("bucket"),
+                     F.col(vec_col).alias("__va"))
+        y = b.select(F.col(id_col).alias("id_b"), F.col("bucket"),
+                     F.col(vec_col).alias("__vb"))
+        p = (x.join(y, "bucket").where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "__va", "__vb"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

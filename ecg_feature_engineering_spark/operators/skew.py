@@ -1,0 +1,47 @@
+"""Skew-handling helpers: key salting for groupBy paths where AQE can't help.
+
+AQE's skew-join splitting covers joins; grouped aggregates and
+applyInPandas/window paths over a hot entity (FIXTURES.md: ~10% of rows on one
+entity, 5% on one phash prefix) need explicit salt. Pattern: two-phase
+aggregate — partial per (key, salt), final per key — standard map-side-combine
+spelled out for non-algebraic aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, out: str = "__salt",
+              deterministic_col: str | None = None) -> DataFrame:
+    """Add a salt column. If ``deterministic_col`` is given, salt =
+    pmod(xxhash64(col), n) — stable across retries/resume (preferred);
+    otherwise a seeded spark_partition_id-based salt."""
+    if deterministic_col:
+        salt = F.pmod(F.xxhash64(deterministic_col), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.spark_partition_id()
+                      + F.monotonically_increasing_id(), F.lit(n_salts))
+    return df.withColumn(out, salt)
+
+
+def salted_count(df: DataFrame, by: list[str], n_salts: int = 16,
+                 unique_col: str | None = None) -> DataFrame:
+    """Two-phase count per key: count per (key, salt) then sum per key.
+    Demonstrates the salting contract; Catalyst already partial-aggregates
+    algebraic counts, so use this shape for the *non*-algebraic cases
+    (collect_list-style or applyInPandas pre-reduction)."""
+    salted = with_salt(df, n_salts, deterministic_col=unique_col or by[0])
+    partial = salted.groupBy(*by, "__salt").agg(F.count(F.lit(1)).alias("__n"))
+    return partial.groupBy(*by).agg(F.sum("__n").alias("n"))
+
+
+def repartition_by_entity_range(df: DataFrame, by: str = "entity_id",
+                                order: str = "ts",
+                                n_partitions: int | None = None) -> DataFrame:
+    """Entity-range partition + (entity, ts) sort within partitions — the
+    physical layout the as-of/merge_asof and window stages want (SURVEY.md
+    §4.2). Lets consecutive window stages reuse one exchange+sort."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, by).sortWithinPartitions(by, order)

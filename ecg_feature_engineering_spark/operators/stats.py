@@ -1,0 +1,257 @@
+"""Grouped statistical feature families, with exact numpy/scipy-convention parity.
+
+The #1 allclose trap (SURVEY.md §4.2): the reference uses *population* (biased)
+moments — np.std/var default ddof=0, scipy.stats.skew/kurtosis default
+bias=True, Fisher kurtosis (−3). Spark's ``stddev``/``skewness``/``kurtosis``
+use different conventions, so this module builds the moments explicitly from
+power sums: m_k = avg((x − mean)^k) expanded to avg(x), avg(x²), avg(x³),
+avg(x⁴) — all partial-aggregatable map-side, one shuffle, no UDFs.
+
+Feature families mirror SURVEY.md §2.4 rows (citations inline). All return
+lists of Column aggregates to compose into a single ``groupBy(entity).agg``
+— one pass over the data for an arbitrary mix of families (fixing the
+reference's recompute-per-family quirk, LONG_features.py:270-281).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecg_feature_engineering_spark.operators.windows import entity_window
+
+
+# ----------------------------------------------------------- moment columns
+def mean_pow(col, k: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.avg(c if k == 1 else F.pow(c, F.lit(k)))
+
+
+def var_pop(col) -> Column:
+    """Population variance (np.var ddof=0)."""
+    return mean_pow(col, 2) - F.pow(mean_pow(col, 1), F.lit(2))
+
+
+def std_pop(col) -> Column:
+    """Population std (np.std ddof=0; reference sdnn, HRV_features.py:109-111)."""
+    return F.sqrt(var_pop(col))
+
+
+def skew_pop(col) -> Column:
+    """Biased Fisher-Pearson skewness = m3 / m2^1.5 (scipy.stats.skew
+    bias=True, used in QRS_features.py:385). 0-variance groups -> null
+    (scipy emits nan; null is the relational spelling)."""
+    m1, m2r, m3r = mean_pow(col, 1), mean_pow(col, 2), mean_pow(col, 3)
+    m2 = m2r - m1 * m1
+    m3 = m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1
+    return F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5)))
+
+
+def kurt_pop(col) -> Column:
+    """Biased Fisher (excess) kurtosis = m4/m2² − 3 (scipy.stats.kurtosis
+    defaults, QRS_features.py:386)."""
+    m1 = mean_pow(col, 1)
+    m2r, m3r, m4r = mean_pow(col, 2), mean_pow(col, 3), mean_pow(col, 4)
+    m2 = m2r - m1 * m1
+    m4 = m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * F.pow(m1, F.lit(4))
+    return F.when(m2 > 0, m4 / (m2 * m2) - 3)
+
+
+def pctl(col, p: float) -> Column:
+    """Exact percentile with linear interpolation — matches np.percentile
+    (Spark's ``percentile`` uses the same definition). ``percentile_approx``
+    is only for opt-in approximate mode at extreme scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile(c, F.lit(p / 100.0))
+
+
+def safe_div(num: Column, den: Column, default: float = 0.0) -> Column:
+    """Zero-guard division (reference F4 pattern, extract_SHORT.py:106-113,
+    QRS_features.py:378-381)."""
+    return F.when(den != 0, num / den).otherwise(F.lit(default))
+
+
+# --------------------------------------------------------- feature families
+def hrv_aggs(value: str = "value", diff: str = "value_diff1",
+             nn_threshold: float = 15.0) -> list[Column]:
+    """A1 — the ManFeat_HRV nine (HRV_features.py:92-153), minus the SampEn
+    pair (kernel U4, functions/kernels.py) and Rdensity (needs sig_len/fs
+    scalars — see ``rdensity``). Input: per-entity interval rows with a
+    precomputed lag-1 diff column (windows.with_lag_diff).
+    """
+    v, d = F.col(value), F.col(diff)
+    return [
+        std_pop(v).alias("sdnn"),                              # :109-111
+        F.max(v).alias("max_rr"),                              # :113
+        F.min(v).alias("min_rr"),                              # :115
+        F.avg(v).alias("mean_rr"),                             # :117
+        safe_div(
+            F.sum(F.when(F.abs(d) >= nn_threshold, 1).otherwise(0)),
+            F.count(v),
+        ).alias("pnn50"),                                      # :125-127
+        F.sqrt(F.avg(d * d)).alias("rmssd"),                   # :129-130
+    ]
+
+
+def rdensity(sig_len: Column, fs: Column, n_peaks: Column) -> Column:
+    """(count+1)/sig_len*fs (HRV_features.py:121-123)."""
+    return (n_peaks + 1) / sig_len * fs
+
+
+def basic_stat_aggs(value: str = "value", prefix: str = "") -> list[Column]:
+    """A2 — QRSBasicStat's 15 (QRS_features.py:370-401): mean, HR=1/mean
+    (zero-guarded), count, range, population var/skew/kurt, median, min,
+    p5/p25/p75/p95 and the two inter-percentile ranges."""
+    v = F.col(value)
+    p = prefix
+    return [
+        F.avg(v).alias(p + "mean"),
+        safe_div(F.lit(1.0), F.avg(v)).alias(p + "hr"),        # :378-381
+        F.count(v).alias(p + "cnt"),
+        (F.max(v) - F.min(v)).alias(p + "range"),
+        var_pop(v).alias(p + "var"),
+        skew_pop(v).alias(p + "skew"),
+        kurt_pop(v).alias(p + "kurt"),
+        pctl(v, 50).alias(p + "median"),
+        F.min(v).alias(p + "min"),
+        pctl(v, 5).alias(p + "p5"),
+        pctl(v, 25).alias(p + "p25"),
+        pctl(v, 75).alias(p + "p75"),
+        pctl(v, 95).alias(p + "p95"),
+        (pctl(v, 95) - pctl(v, 5)).alias(p + "ipr_95_5"),
+        (pctl(v, 75) - pctl(v, 25)).alias(p + "ipr_75_25"),
+    ]
+
+
+def long_stat_aggs(value: str = "value", prefix: str = "") -> list[Column]:
+    """A13 — LongBasicStat percentile list [1,5,10,25,75,90,95,99] + 4 IPRs
+    (LONG_features.py:35-104)."""
+    v = F.col(value)
+    p = prefix
+    cols = [
+        (F.max(v) - F.min(v)).alias(p + "range"),
+        var_pop(v).alias(p + "var"),
+        skew_pop(v).alias(p + "skew"),
+        kurt_pop(v).alias(p + "kurt"),
+        pctl(v, 50).alias(p + "median"),
+    ]
+    for q in (1, 5, 10, 25, 75, 90, 95, 99):
+        cols.append(pctl(v, q).alias(f"{p}p{q}"))
+    cols += [
+        (pctl(v, 99) - pctl(v, 1)).alias(p + "ipr_99_1"),
+        (pctl(v, 95) - pctl(v, 5)).alias(p + "ipr_95_5"),
+        (pctl(v, 90) - pctl(v, 10)).alias(p + "ipr_90_10"),
+        (pctl(v, 75) - pctl(v, 25)).alias(p + "ipr_75_25"),
+    ]
+    return cols
+
+
+def cv_aggs(value: str = "value", diff: str = "value_diff1") -> list[Column]:
+    """A7 — coefficient of variation on the series and its first diff
+    (QRS_features.py:335-358), population std, zero-guarded."""
+    return [
+        safe_div(std_pop(F.col(value)), F.avg(value)).alias("cov_ts"),
+        safe_div(std_pop(F.col(diff)), F.avg(diff)).alias("cov_dts"),
+    ]
+
+
+def variability_aggs(value: str = "value", diff: str = "value_diff1",
+                     nn_threshold: float = 15.0) -> list[Column]:
+    """A9 — Variability: SDNN, NN50 count, pNN50 (QRS_features.py:509-538).
+    (Stepping/Dispersion need endpoint terms — round-2 addition via
+    first/last aggregates.)"""
+    v, d = F.col(value), F.col(diff)
+    nn = F.abs(d)
+    return [
+        std_pop(v).alias("sdnn"),
+        F.sum(F.when(nn > nn_threshold, 1).otherwise(0)).alias("nn50"),
+        safe_div(
+            F.sum(F.when(nn > nn_threshold, 1).otherwise(0)), F.count(d)
+        ).alias("pnn50"),
+    ]
+
+
+def first_match_bin(value, thresholds: list[float]) -> Column:
+    """A5 — the reference's first-match descending-threshold binning
+    (QRS_features.py:273-277): bucket j is the first threshold (descending)
+    that ``value > thresholds[j]`` satisfies; below all -> len(thresholds).
+    Equivalent to left-open interval bucketing after a descending sort.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    expr = F.lit(len(thresholds))
+    for j in range(len(thresholds) - 1, -1, -1):
+        expr = F.when(v > F.lit(thresholds[j]), F.lit(j)).otherwise(expr)
+    return expr
+
+
+def bin_stat(df: DataFrame, value: str, thresholds: list[float],
+             by="entity_id") -> DataFrame:
+    """A5 bin_stat: per-bucket count + ratio per entity (QRS_features.py:261-294).
+    One groupBy on (entity, bucket) + a ratio via entity-window sum —
+    conditional-sum pivot shape, no O(buckets) passes."""
+    by = [by] if isinstance(by, str) else list(by)
+    bucketed = df.withColumn("bucket", first_match_bin(value, thresholds))
+    counts = bucketed.groupBy(*by, "bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*by)
+    return counts.withColumn("ratio", F.col("n") / F.sum("n").over(w))
+
+
+def mad(df: DataFrame, value: str, by="entity_id", out: str = "mad") -> DataFrame:
+    """A8 — median(|x − median(x)|) (QRS_features.py:360-367). Two exact-median
+    passes; the per-entity median is broadcast back via an equi-join (small
+    aggregate side, Catalyst will broadcast it at scale)."""
+    by = [by] if isinstance(by, str) else list(by)
+    med = df.groupBy(*by).agg(pctl(value, 50).alias("__med"))
+    return (
+        df.join(F.broadcast(med), on=by)
+        .groupBy(*by)
+        .agg(pctl(F.abs(F.col(value) - F.col("__med")), 50).alias(out))
+    )
+
+
+def autocorr(df: DataFrame, value: str, lags: list[int],
+             by="entity_id", order="ts") -> DataFrame:
+    """A20 — Pearson correlation of the series with its k-lagged self per
+    entity (QRS_features.py:29-30, LONG_features.py:32-33). ``corr`` is
+    scale-invariant, so sample-vs-population convention cancels; matches
+    np.corrcoef on the aligned pairs."""
+    w = entity_window(by, order)
+    by = [by] if isinstance(by, str) else list(by)
+    lagged = df.select(
+        *by, F.col(value),
+        *[F.lag(value, k).over(w).alias(f"__lag{k}") for k in lags],
+    )
+    return lagged.groupBy(*by).agg(
+        *[F.corr(value, f"__lag{k}").alias(f"acf{k}") for k in lags]
+    )
+
+
+def crossing_count(df: DataFrame, value: str, threshold: Column | float,
+                   by="entity_id", order="ts",
+                   out: str = "n_crossings") -> DataFrame:
+    """A14 — threshold-crossing count: consecutive samples straddling the
+    threshold (LONG_features.py:107-119): sum((x−th)(next(x)−th) < 0)."""
+    w = entity_window(by, order)
+    by = [by] if isinstance(by, str) else list(by)
+    th = F.lit(threshold) if isinstance(threshold, (int, float)) else threshold
+    nxt = F.lead(value).over(w)
+    flag = F.when((F.col(value) - th) * (nxt - th) < 0, 1).otherwise(0)
+    return (
+        df.select(*by, flag.alias("__c"))
+        .groupBy(*by)
+        .agg(F.sum("__c").alias(out))
+    )
+
+
+def zigzag(df: DataFrame, value: str, by="entity_id", order="ts",
+           out: str = "zigzag") -> DataFrame:
+    """A21 — direction-change count + 1 (LONG_features.py:17-29)."""
+    w = entity_window(by, order)
+    by = [by] if isinstance(by, str) else list(by)
+    prev, nxt = F.lag(value).over(w), F.lead(value).over(w)
+    flag = F.when((F.col(value) - prev) * (nxt - F.col(value)) < 0, 1).otherwise(0)
+    return (
+        df.select(*by, flag.alias("__z"))
+        .groupBy(*by)
+        .agg((F.sum("__z") + 1).alias(out))
+    )

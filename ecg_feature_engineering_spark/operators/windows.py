@@ -1,0 +1,161 @@
+"""Ordered per-entity window operators: lag/lead diffs, backfill/fill-forward,
+sessionization, rolling frames, sliding segmentation, endpoint trims.
+
+Reference analogs (SURVEY.md §2.5): first-difference RR/dRR series
+(HRV_features.py:106-107), 3-point rolling median (QRS_features.py:20-27),
+sliding segmentation (HRV_features.py:32-58), zero-fill of short series.
+
+All operators are pure Window expressions (whole-stage codegen, one shuffle on
+the entity key — and Catalyst reuses a single sort/exchange when several of
+these stack on the same (partitionBy, orderBy) spec).
+
+Leakage rule: every frame here ends at ``currentRow`` — never ``following`` —
+except the explicitly-named ``bfill`` (which is for *imputation pipelines run
+strictly before an as-of cutoff*, documented as such).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def epoch_seconds(df: DataFrame, col: str) -> Column:
+    """Numeric seconds for a ts column of any flavor (timestamp, timestamp_ntz,
+    or already-numeric). timestamp_ntz (the parquet default in Spark 4) can't
+    cast straight to double, so hop through timestamp (session tz is pinned
+    UTC in session.py, so the hop is value-preserving)."""
+    t = df.schema[col].dataType.simpleString()
+    c = F.col(col)
+    if t.startswith("timestamp"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def entity_window(by="entity_id", order="ts") -> WindowSpec:
+    by = [by] if isinstance(by, str) else list(by)
+    order = [order] if isinstance(order, str) else list(order)
+    return Window.partitionBy(*by).orderBy(*order)
+
+
+def with_lag_diff(
+    df: DataFrame, value: str = "value", by="entity_id", order="ts",
+    n: int = 1, out: str | None = None,
+) -> DataFrame:
+    """x - lag(x, n) per entity — the RR = diff(rpeaks) core (W1)."""
+    w = entity_window(by, order)
+    return df.withColumn(out or f"{value}_diff{n}",
+                         F.col(value) - F.lag(value, n).over(w))
+
+
+def with_lead_diff(df, value="value", by="entity_id", order="ts", n=1,
+                   out=None) -> DataFrame:
+    w = entity_window(by, order)
+    return df.withColumn(out or f"{value}_lead_diff{n}",
+                         F.lead(value, n).over(w) - F.col(value))
+
+
+def ffill(df: DataFrame, cols: list[str], by="entity_id", order="ts") -> DataFrame:
+    """Fill-forward: last non-null at or before the current row (north rule's
+    backfill-fill-forward requirement; frame never reads the future)."""
+    w = entity_window(by, order).rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    return df.select(
+        *[c for c in df.columns if c not in cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in cols],
+    )
+
+
+def bfill(df: DataFrame, cols: list[str], by="entity_id", order="ts") -> DataFrame:
+    """Backward fill (reads following rows — imputation-only, see module doc)."""
+    w = entity_window(by, order).rowsBetween(Window.currentRow,
+                                             Window.unboundedFollowing)
+    return df.select(
+        *[c for c in df.columns if c not in cols],
+        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in cols],
+    )
+
+
+def sessionize(
+    df: DataFrame, gap_seconds: float, by="entity_id", order="ts",
+    out: str = "session_id",
+) -> DataFrame:
+    """Gap-based session ids: new session when ts - lag(ts) > gap.
+
+    Session ids are 0-based per entity. Pure cumulative-sum window — the batch
+    twin of Structured Streaming's ``session_window`` (streaming/sessions.py).
+    Reference analog: segmenting a record's beat stream into gap-free windows
+    (SURVEY.md §2.5 sessionization).
+    """
+    w = entity_window(by, order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sec = epoch_seconds(df, order)
+    gap = sec - F.lag(sec).over(w)
+    flag = F.when(gap > F.lit(gap_seconds), 1).otherwise(0)
+    return df.withColumn(out, F.sum(flag).over(run).cast("long"))
+
+
+def rolling(
+    df: DataFrame, value: str, aggs: dict[str, Column | str],
+    by="entity_id", order="ts", rows: int = 10,
+) -> DataFrame:
+    """Trailing rolling-window aggregates over the last ``rows`` rows
+    (inclusive of current; frame ends at currentRow — leak-free).
+
+    ``aggs`` maps output name -> either an agg function name ("avg", "min",
+    "max", "sum", "stddev_pop", "count") applied to ``value``, or a prebuilt
+    Column to be windowed as-is.
+    """
+    w = entity_window(by, order).rowsBetween(-(rows - 1), Window.currentRow)
+    cols = []
+    for name, a in aggs.items():
+        expr = getattr(F, a)(value) if isinstance(a, str) else a
+        cols.append(expr.over(w).alias(name))
+    return df.select("*", *cols)
+
+
+def rolling_median3(df: DataFrame, value: str, by="entity_id", order="ts",
+                    out: str | None = None) -> DataFrame:
+    """Centered 3-point rolling median (QRS_features.py:20-27 preprocessing for
+    the PointMedian stats, A3). Endpoints use the available 2-point frame —
+    matching numpy-median-over-slice semantics of the reference."""
+    w = entity_window(by, order).rowsBetween(-1, 1)
+    return df.withColumn(out or f"{value}_med3", F.median(value).over(w))
+
+
+def trim_endpoints(df: DataFrame, by="entity_id", order="ts",
+                   n_head: int = 1, n_tail: int = 1) -> DataFrame:
+    """Drop the first/last n rows per entity — the reference's ``ts[1:-1]``
+    interval trim (QRS_features.py:375,471,440; SURVEY.md P5)."""
+    w = entity_window(by, order)
+    cnt = Window.partitionBy(*( [by] if isinstance(by, str) else by ))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+          .withColumn("__n", F.count(F.lit(1)).over(cnt))
+          .where((F.col("__rn") > n_head) & (F.col("__rn") <= F.col("__n") - n_tail))
+          .drop("__rn", "__n")
+    )
+
+
+def sliding_segments(
+    df: DataFrame, seg_rows: int, stride_rows: int,
+    by="entity_id", order="ts", out: str = "segment_id",
+) -> DataFrame:
+    """Assign each row to every overlapping fixed-length row segment
+    (reference W5: SegSig_1d / Stack_Segs_generate, HRV_features.py:32-58 —
+    WINDOW=18000 OVERLAP=0.5 slicing in preprocess-300hz.py:341-358).
+
+    Row i belongs to segments s with s*stride <= i < s*stride + seg_rows —
+    emitted via explode(sequence(...)), so downstream groupBy(entity, segment)
+    aggregates see each overlapping window. Output rows multiply by
+    ~seg_rows/stride_rows (documented fan-out, not a hidden blowup).
+    """
+    w = entity_window(by, order)
+    i = F.row_number().over(w) - 1
+    lo = F.greatest(F.lit(0), F.floor((i - seg_rows + stride_rows) / stride_rows))
+    hi = F.floor(i / stride_rows)
+    return (
+        df.withColumn("__i", i)
+          .withColumn(out, F.explode(F.sequence(lo.cast("long"), hi.cast("long"))))
+          .drop("__i")
+    )

@@ -1,0 +1,99 @@
+"""Flagship end-to-end plan (SURVEY.md §7.3): per entity × snapshot timestamp,
+
+  1. as-of join (backward) the latest image row; decode-stats + pHash +
+     caption-length features from the payload (Arrow kernels, U1/U2/F7);
+  2. as-of join the latest point of the per-event rolling/lag/session feature
+     stream (W1 lag diffs, trailing rolling stats, gap sessionization);
+  3. emit one wide feature row per (entity_id, as_of_ts) — leak-free: every
+     input to a feature has ts <= as_of_ts by as-of direction + trailing
+     frames.
+
+Reference lineage: this is E1 (extract_HRV flagship pipeline,
+extract_HRV.py:25-80) re-expressed as one lazy Catalyst plan — scan → kernel →
+window → as-of → select, instead of a serial per-record loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecg_feature_engineering_spark.datagen import images as datagen
+from ecg_feature_engineering_spark.functions import kernels
+from ecg_feature_engineering_spark.operators import asof, windows
+from ecg_feature_engineering_spark.operators.text import quality_features
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Payload-side features: decoded-pixel stats (kernel) + pHash bit features
+    (JVM-side bit ops) + caption quality features (JVM-side)."""
+    keep = ["image_id", "entity_id", "ts", "phash", "caption"]
+    decoded = kernels.decode_stats(images, keep=keep)
+    feats = quality_features(
+        decoded.withColumnRenamed("caption", "text"), "text"
+    ).withColumnRenamed("text", "caption")
+    return feats.withColumns({
+        "phash_bits": F.bit_count(F.col("phash")),
+        "phash_prefix": F.shiftrightunsigned(F.col("phash"), 48).cast("int"),
+    }).drop("caption")
+
+
+def event_features(events: DataFrame, n_entities: int,
+                   session_gap_s: float = 3600.0,
+                   rolling_rows: int = 10) -> DataFrame:
+    """Per-event trailing feature stream on the driver-shaped events table
+    (event_id, ts, user_id, event_type, value, props): lag diffs, trailing
+    rolling stats, session ids + per-session running counts. All frames end at
+    currentRow — leak-free by construction."""
+    ev = events.withColumn(
+        "entity_id", F.format_string("ent%08d", F.pmod("user_id", F.lit(n_entities)))
+    ).select("entity_id", "ts", "value")
+    ev = windows.with_lag_diff(ev, "value", "entity_id", "ts", 1, "value_diff1")
+    ev = windows.with_lag_diff(ev, "value", "entity_id", "ts", 2, "value_diff2")
+    ev = windows.rolling(
+        ev, "value",
+        {"roll_mean": "avg", "roll_min": "min", "roll_max": "max",
+         "roll_std": "stddev_pop", "roll_n": "count"},
+        by="entity_id", order="ts", rows=rolling_rows,
+    )
+    ev = windows.sessionize(ev, session_gap_s, "entity_id", "ts", "session_id")
+    run = (
+        windows.entity_window(["entity_id", "session_id"], "ts")
+        .rowsBetween(-(10**9), 0)
+    )
+    return ev.withColumn("session_event_n", F.count(F.lit(1)).over(run))
+
+
+def flagship(spark: SparkSession, sf_dir: str, n_images: int = 300,
+             seed: int = 42) -> DataFrame:
+    """The full E1-equivalent plan at small scale: synthesized image table
+    (input_hint shape) + the driver's events table -> per (entity, as_of_ts)
+    feature vectors."""
+    n_entities = max(n_images // 20, 2)
+    images = datagen.images_df(spark, n_images, seed, n_entities)
+    snapshots = datagen.snapshots_df(spark, n_entities, 12, seed)
+
+    img_feats = image_features(images)
+    ev_feats = event_features(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), n_entities)
+
+    with_img = asof.asof_join(
+        snapshots, img_feats, on="as_of_ts", right_on="ts", by="entity_id",
+        suffix="_img", keep_match_ts="img_ts",
+    )
+    with_ev = asof.asof_join(
+        with_img, ev_feats, on="as_of_ts", right_on="ts", by="entity_id",
+        suffix="_ev", keep_match_ts="event_ts",
+    )
+    return with_ev.select(
+        "entity_id", "as_of_ts",
+        # image payload features (latest image at or before as_of)
+        "image_id", "img_ts", "px_mean", "px_std", "luma_mean", "luma_std",
+        "r_mean", "g_mean", "b_mean", "decoded_w", "decoded_h",
+        "phash_bits", "phash_prefix",
+        "n_words", "mean_word_len", "punct_ratio", "stopword_ratio",
+        # event stream features (latest event at or before as_of)
+        "event_ts", "value", "value_diff1", "value_diff2",
+        "roll_mean", "roll_min", "roll_max", "roll_std", "roll_n",
+        "session_id", "session_event_n",
+    )

@@ -1,0 +1,57 @@
+"""Structured Streaming façade over the batch window semantics.
+
+The reference is pure batch (SURVEY.md §2.10); these wrappers exist so the
+same session/tumbling/sliding semantics run incrementally: session_window for
+gap sessions (batch twin: operators/windows.sessionize), window() for the
+sliding segmentation analog (W5), watermarks for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_session_aggs(events: DataFrame, gap: str = "30 minutes",
+                           watermark: str = "1 hour",
+                           by: str = "user_id", ts: str = "ts",
+                           value: str = "value") -> DataFrame:
+    """Per-(entity, gap-session) aggregates on a streaming DataFrame.
+    Append-mode compatible: results finalize once the watermark passes the
+    session gap."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("session"), F.col(by))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(value).alias("sum_value"),
+             F.min(ts).alias("session_start"),
+             F.max(ts).alias("session_end"))
+    )
+
+
+def streaming_sliding_aggs(events: DataFrame, length: str = "10 minutes",
+                           slide: str = "5 minutes",
+                           watermark: str = "1 hour",
+                           by: str = "user_id", ts: str = "ts",
+                           value: str = "value") -> DataFrame:
+    """Sliding-window aggregates (W5 analog: SegSig_1d overlap slicing,
+    HRV_features.py:32-58) in streaming form."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), length, slide).alias("win"), F.col(by))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.avg(value).alias("avg_value"),
+             F.stddev_pop(value).alias("std_value"))
+    )
+
+
+def run_batch_as_stream(spark, parquet_dir: str, schema, transform,
+                        query_name: str = "stream_out") -> DataFrame:
+    """Drive a batch parquet directory through a streaming query to completion
+    (memory sink) — the smoke-test harness for the streaming façade."""
+    src = spark.readStream.schema(schema).parquet(parquet_dir)
+    q = (transform(src).writeStream.outputMode("append")
+         .format("memory").queryName(query_name).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
