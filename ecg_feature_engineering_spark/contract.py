@@ -1,0 +1,1014 @@
+"""Driver-contract query registry: named (Spark query, DuckDB oracle SQL) pairs.
+
+Each entry re-expresses one operator row from SURVEY.md §2 over the driver's
+testdata tables (region nation customer supplier part orders lineitem events
+documents embeddings). The Spark side and the oracle SQL round floating
+outputs identically (round 6; monetary sums round 2) so the driver's
+order-insensitive value-hash matches bit-for-bit.
+
+Kernel-backed operators (Arrow UDF rows — SURVEY.md §2.9) have no SQL oracle;
+they appear in QUERY_BUILDERS only and get numeric oracles in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecg_feature_engineering_spark.datagen import images as datagen
+from ecg_feature_engineering_spark.functions import kernels
+from ecg_feature_engineering_spark.operators import (
+    asof,
+    dedup,
+    similarity,
+    splits,
+    stats,
+    text,
+    windows,
+)
+from ecg_feature_engineering_spark.plans import flagship as flagship_plan
+
+QUERY_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+SESSION_GAP_S = 21600.0  # 6h gap for event sessionization
+NN_THRESHOLD = 15.0
+BIN_THRESHOLDS = [150.0, 100.0, 50.0]
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERY_BUILDERS[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _round(df: DataFrame, cols: list[str], n: int = 6) -> DataFrame:
+    return df.select(
+        *[F.round(F.col(c), n).alias(c) if c in cols else F.col(c)
+          for c in df.columns]
+    )
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+
+
+_ORDER = ["ts", "event_id"]  # deterministic per-user event order
+
+
+# =====================================================================
+# Relational core (scans, filters, joins, aggregates — S/P/J rows)
+# =====================================================================
+@register("tpch_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — grouped agg with pushed-down ship-date filter (P2/A-family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    # round each sum to its quantity's true decimal count so 1-ulp
+    # cross-engine differences can never straddle a rounding boundary
+    out = _round(out, ["sum_qty", "sum_base_price"], 2)
+    out = _round(out, ["sum_disc_price"], 4)
+    out = _round(out, ["sum_charge"], 6)
+    return _round(out, ["avg_qty", "avg_price", "avg_disc"], 4)
+
+
+@register("shipping_priority", """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey
+""")
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape — 3-way equi-join with selective filters; customer side
+    broadcasts (J1/J3)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+    return _round(out, ["revenue"], 4)
+
+
+@register("nation_revenue", """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""")
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape — multi-join star with broadcast dims (J3)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+    return _round(out, ["revenue"], 4)
+
+
+@register("top_customers", """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+FROM orders GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey LIMIT 10
+""")
+def q_top_customers(spark, sf_dir):
+    """Top-k by aggregate (O3: TakeOrderedAndProject)."""
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+    return out
+
+
+@register("rank_orders_per_customer", """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+""")
+def q_rank_orders(spark, sf_dir):
+    """Per-group top-k via row_number (W8/O3)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey",
+                F.row_number().over(w).cast("long").alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register("semi_join_active_customers", """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+""")
+def q_semi_join(spark, sf_dir):
+    """Left-semi membership join (J7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@register("anti_join_dormant_customers", """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_anti_join(spark, sf_dir):
+    """Left-anti join — the blacklist/except shape (P3/J7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register("recode_lang", """
+SELECT doc_id,
+  CASE lang WHEN 'en' THEN 0 WHEN 'es' THEN 1 WHEN 'fr' THEN 2
+            WHEN 'de' THEN 3 ELSE -1 END AS lang_code
+FROM documents
+""")
+def q_recode(spark, sf_dir):
+    """Value recode when-ladder (P7: gender_num/label_num, utils.py:16-40)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        splits.recode("lang", {"en": 0, "es": 1, "fr": 2, "de": 3}, default=-1)
+        .cast("int").alias("lang_code"),
+    )
+
+
+# =====================================================================
+# Ordered per-entity windows (W rows) on the events stream
+# =====================================================================
+@register("lag_diffs", """
+SELECT event_id, user_id,
+  round(value - lag(value, 1) OVER w, 6) AS value_diff1,
+  round(value - lag(value, 2) OVER w, 6) AS value_diff2
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_lag_diffs(spark, sf_dir):
+    """W1 — the RR = diff(rpeaks) first-difference core (HRV_features.py:106)."""
+    ev = _events(spark, sf_dir)
+    ev = windows.with_lag_diff(ev, "value", "user_id", _ORDER, 1, "value_diff1")
+    ev = windows.with_lag_diff(ev, "value", "user_id", _ORDER, 2, "value_diff2")
+    return _round(ev.select("event_id", "user_id", "value_diff1",
+                            "value_diff2"), ["value_diff1", "value_diff2"])
+
+
+@register("hrv_features", """
+WITH d AS (
+  SELECT user_id, value,
+    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
+  FROM events)
+SELECT user_id,
+  round(sqrt(avg(value * value) - avg(value) * avg(value)), 6) AS sdnn,
+  round(max(value), 6) AS max_rr,
+  round(min(value), 6) AS min_rr,
+  round(avg(value), 6) AS mean_rr,
+  round(sum(CASE WHEN abs(d1) >= 15.0 THEN 1 ELSE 0 END) / count(value), 6)
+    AS pnn50,
+  round(sqrt(avg(d1 * d1)), 6) AS rmssd
+FROM d GROUP BY user_id
+""")
+def q_hrv(spark, sf_dir):
+    """A1 — the ManFeat_HRV aggregate nine (HRV_features.py:92-153) over the
+    events stream, population-moment parity."""
+    ev = _events(spark, sf_dir)
+    ev = windows.with_lag_diff(ev, "value", "user_id", _ORDER, 1, "d1")
+    out = ev.groupBy("user_id").agg(
+        *stats.hrv_aggs("value", "d1", nn_threshold=NN_THRESHOLD))
+    return _round(out, ["sdnn", "max_rr", "min_rr", "mean_rr", "pnn50",
+                        "rmssd"])
+
+
+@register("basic_stats", """
+WITH s AS (
+  SELECT user_id,
+    avg(value) m1, avg(value * value) m2r,
+    avg(value * value * value) m3r,
+    avg(value * value * value * value) m4r,
+    count(value) cnt, max(value) mx, min(value) mn,
+    quantile_cont(value, 0.05) q5, quantile_cont(value, 0.25) q25,
+    quantile_cont(value, 0.50) q50, quantile_cont(value, 0.75) q75,
+    quantile_cont(value, 0.95) q95
+  FROM events GROUP BY user_id)
+SELECT user_id,
+  round(m1, 6) AS stat_mean,
+  round(CASE WHEN m1 <> 0 THEN 1.0 / m1 ELSE 0.0 END, 6) AS stat_hr,
+  cnt AS stat_cnt,
+  round(mx - mn, 6) AS stat_range,
+  round(m2r - m1 * m1, 6) AS stat_var,
+  round(CASE WHEN m2r - m1 * m1 > 0 THEN
+    (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / pow(m2r - m1 * m1, 1.5) END, 6)
+    AS stat_skew,
+  round(CASE WHEN m2r - m1 * m1 > 0 THEN
+    (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * pow(m1, 4))
+      / pow(m2r - m1 * m1, 2) - 3 END, 6) AS stat_kurt,
+  round(q50, 6) AS stat_median,
+  round(mn, 6) AS stat_min,
+  round(q5, 6) AS stat_p5,
+  round(q25, 6) AS stat_p25,
+  round(q75, 6) AS stat_p75,
+  round(q95, 6) AS stat_p95,
+  round(q95 - q5, 6) AS stat_ipr_95_5,
+  round(q75 - q25, 6) AS stat_ipr_75_25
+FROM s
+""")
+def q_basic_stats(spark, sf_dir):
+    """A2 — QRSBasicStat 15 (QRS_features.py:370-401): population var/skew/
+    Fisher-kurtosis from power sums, exact interpolated percentiles."""
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy("user_id").agg(*stats.basic_stat_aggs("value", "stat_"))
+    return _round(out, [c for c in out.columns
+                        if c not in ("user_id", "stat_cnt")])
+
+
+@register("long_stats", """
+WITH s AS (
+  SELECT user_id,
+    avg(value) m1, avg(value * value) m2r,
+    avg(value * value * value) m3r,
+    avg(value * value * value * value) m4r,
+    max(value) mx, min(value) mn,
+    quantile_cont(value, 0.01) q1, quantile_cont(value, 0.05) q5,
+    quantile_cont(value, 0.10) q10, quantile_cont(value, 0.25) q25,
+    quantile_cont(value, 0.50) q50, quantile_cont(value, 0.75) q75,
+    quantile_cont(value, 0.90) q90, quantile_cont(value, 0.95) q95,
+    quantile_cont(value, 0.99) q99
+  FROM events GROUP BY user_id)
+SELECT user_id,
+  round(mx - mn, 6) AS ls_range,
+  round(m2r - m1 * m1, 6) AS ls_var,
+  round(CASE WHEN m2r - m1 * m1 > 0 THEN
+    (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / pow(m2r - m1 * m1, 1.5) END, 6)
+    AS ls_skew,
+  round(CASE WHEN m2r - m1 * m1 > 0 THEN
+    (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * pow(m1, 4))
+      / pow(m2r - m1 * m1, 2) - 3 END, 6) AS ls_kurt,
+  round(q50, 6) AS ls_median,
+  round(q1, 6) AS ls_p1, round(q5, 6) AS ls_p5, round(q10, 6) AS ls_p10,
+  round(q25, 6) AS ls_p25, round(q75, 6) AS ls_p75, round(q90, 6) AS ls_p90,
+  round(q95, 6) AS ls_p95, round(q99, 6) AS ls_p99,
+  round(q99 - q1, 6) AS ls_ipr_99_1, round(q95 - q5, 6) AS ls_ipr_95_5,
+  round(q90 - q10, 6) AS ls_ipr_90_10, round(q75 - q25, 6) AS ls_ipr_75_25
+FROM s
+""")
+def q_long_stats(spark, sf_dir):
+    """A13 — LongBasicStat percentile ladder (LONG_features.py:35-104)."""
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy("user_id").agg(*stats.long_stat_aggs("value", "ls_"))
+    return _round(out, [c for c in out.columns if c != "user_id"])
+
+
+@register("coeff_of_variation", """
+WITH d AS (
+  SELECT user_id, value,
+    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
+  FROM events)
+SELECT user_id,
+  round(CASE WHEN avg(value) <> 0 THEN
+    sqrt(avg(value * value) - avg(value) * avg(value)) / avg(value)
+    ELSE 0.0 END, 6) AS cov_ts,
+  round(CASE WHEN avg(d1) <> 0 THEN
+    sqrt(avg(d1 * d1) - avg(d1) * avg(d1)) / avg(d1) ELSE 0.0 END, 6)
+    AS cov_dts
+FROM d GROUP BY user_id
+""")
+def q_cv(spark, sf_dir):
+    """A7 — CoeffOfVariation on series + first diff (QRS_features.py:335-358)."""
+    ev = _events(spark, sf_dir)
+    ev = windows.with_lag_diff(ev, "value", "user_id", _ORDER, 1, "d1")
+    out = ev.groupBy("user_id").agg(*stats.cv_aggs("value", "d1"))
+    return _round(out, ["cov_ts", "cov_dts"])
+
+
+@register("variability", """
+WITH d AS (
+  SELECT user_id, value,
+    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
+  FROM events)
+SELECT user_id,
+  round(sqrt(avg(value * value) - avg(value) * avg(value)), 6) AS sdnn,
+  sum(CASE WHEN abs(d1) > 15.0 THEN 1 ELSE 0 END) AS nn50,
+  round(sum(CASE WHEN abs(d1) > 15.0 THEN 1 ELSE 0 END) / count(d1), 6)
+    AS pnn50
+FROM d GROUP BY user_id
+""")
+def q_variability(spark, sf_dir):
+    """A9 — Variability SDNN/NN50/pNN50 (QRS_features.py:509-538)."""
+    ev = _events(spark, sf_dir)
+    ev = windows.with_lag_diff(ev, "value", "user_id", _ORDER, 1, "d1")
+    out = ev.groupBy("user_id").agg(
+        *stats.variability_aggs("value", "d1", NN_THRESHOLD))
+    return _round(out, ["sdnn", "pnn50"])
+
+
+@register("sessionize", """
+WITH g AS (
+  SELECT event_id, user_id,
+    CASE WHEN epoch_us(ts) / 1000000.0
+            - lag(epoch_us(ts) / 1000000.0)
+              OVER (PARTITION BY user_id ORDER BY ts) > 21600.0
+         THEN 1 ELSE 0 END AS flag, ts
+  FROM events)
+SELECT event_id, user_id,
+  sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS session_id
+FROM g
+""")
+def q_sessionize(spark, sf_dir):
+    """Gap sessionization (north rule; SURVEY.md §2.5) — 6h gap."""
+    ev = _events(spark, sf_dir)
+    out = windows.sessionize(ev, SESSION_GAP_S, "user_id", "ts", "session_id")
+    return out.select("event_id", "user_id", "session_id")
+
+
+@register("session_aggs", """
+WITH g AS (
+  SELECT user_id, value, ts,
+    CASE WHEN epoch_us(ts) / 1000000.0
+            - lag(epoch_us(ts) / 1000000.0)
+              OVER (PARTITION BY user_id ORDER BY ts) > 21600.0
+         THEN 1 ELSE 0 END AS flag
+  FROM events),
+s AS (
+  SELECT user_id, value, ts,
+    sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM g)
+SELECT user_id, session_id,
+  count(*) AS n_events,
+  round(sum(value), 6) AS sum_value,
+  round(min(value), 6) AS min_value,
+  round(max(value), 6) AS max_value,
+  round(epoch_us(max(ts)) / 1000000.0 - epoch_us(min(ts)) / 1000000.0, 6)
+    AS duration_s
+FROM s GROUP BY user_id, session_id
+""")
+def q_session_aggs(spark, sf_dir):
+    """Per-session aggregates over gap sessions (batch twin of
+    session_window; streaming/sessions.py)."""
+    ev = _events(spark, sf_dir)
+    s = windows.sessionize(ev, SESSION_GAP_S, "user_id", "ts", "session_id")
+    sec = windows.epoch_seconds(s, "ts")
+    out = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (F.max(sec) - F.min(sec)).alias("duration_s"),
+    )
+    return _round(out, ["sum_value", "min_value", "max_value", "duration_s"])
+
+
+@register("ffill", """
+SELECT event_id, user_id,
+  round(last_value(v IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
+FROM (SELECT event_id, user_id, ts,
+        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events)
+""")
+def q_ffill(spark, sf_dir):
+    """Fill-forward of nulls (north rule backfill; W-fill): error rows' value
+    nulled then forward-filled from the entity's past only."""
+    ev = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value")))
+    out = windows.ffill(ev, ["v"], "user_id", _ORDER)
+    return _round(
+        out.select("event_id", "user_id", F.col("v").alias("value_filled")),
+        ["value_filled"])
+
+
+@register("rolling_stats", """
+SELECT event_id, user_id,
+  round(avg(value) OVER w, 6) AS roll_mean,
+  round(min(value) OVER w, 6) AS roll_min,
+  round(max(value) OVER w, 6) AS roll_max,
+  count(value) OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""")
+def q_rolling(spark, sf_dir):
+    """Trailing rolling aggregates, last 5 rows (A-rolling; leak-free frame)."""
+    ev = _events(spark, sf_dir)
+    out = windows.rolling(
+        ev, "value",
+        {"roll_mean": "avg", "roll_min": "min", "roll_max": "max",
+         "roll_n": "count"},
+        by="user_id", order=_ORDER, rows=5,
+    )
+    return _round(out.select("event_id", "user_id", "roll_mean", "roll_min",
+                             "roll_max", "roll_n"),
+                  ["roll_mean", "roll_min", "roll_max"])
+
+
+@register("rolling_median3", """
+SELECT event_id, user_id,
+  round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS value_med3
+FROM events
+""")
+def q_rolling_median3(spark, sf_dir):
+    """W2 — centered 3-point rolling median (QRS_features.py:20-27)."""
+    ev = _events(spark, sf_dir)
+    out = windows.rolling_median3(ev, "value", "user_id", _ORDER, "value_med3")
+    return _round(out.select("event_id", "user_id", "value_med3"),
+                  ["value_med3"])
+
+
+@register("trim_endpoints", """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events) WHERE rn > 1 AND rn <= n - 1
+""")
+def q_trim(spark, sf_dir):
+    """P5 — drop first/last row per entity (the ts[1:-1] trim)."""
+    ev = _events(spark, sf_dir)
+    return windows.trim_endpoints(ev, "user_id", _ORDER).select(
+        "event_id", "user_id")
+
+
+@register("sliding_segments", """
+WITH base AS (
+  SELECT event_id, user_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+  FROM events)
+SELECT event_id, user_id,
+  unnest(generate_series(
+    greatest(0, floor((i - 10) / 10.0))::BIGINT,
+    floor(i / 10.0)::BIGINT)) AS segment_id
+FROM base
+""")
+def q_sliding_segments(spark, sf_dir):
+    """W5 — overlapping fixed-length segmentation (SegSig_1d,
+    HRV_features.py:32-58): 20-row windows, stride 10."""
+    ev = _events(spark, sf_dir)
+    out = windows.sliding_segments(ev, 20, 10, "user_id", _ORDER, "segment_id")
+    return out.select("event_id", "user_id", "segment_id")
+
+
+# =====================================================================
+# As-of joins (J5 — the centerpiece)
+# =====================================================================
+@register("asof_backward", """
+SELECT l.event_id, round(r.value, 6) AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+ON l.user_id = r.user_id AND r.ts <= l.ts
+""")
+def q_asof_backward(spark, sf_dir):
+    """J5 — backward as-of join: latest 'view' value at or before each
+    'click', per user. DuckDB's native ASOF JOIN is the oracle."""
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value")
+    out = asof.asof_join(left, right, on="ts", by="user_id",
+                         direction="backward")
+    return _round(out.select("event_id", F.col("value").alias("asof_value")),
+                  ["asof_value"])
+
+
+@register("asof_forward", """
+SELECT l.event_id, round(r.value, 6) AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+ON l.user_id = r.user_id AND r.ts >= l.ts
+""")
+def q_asof_forward(spark, sf_dir):
+    """J5 — forward as-of join (earliest 'view' at or after each 'click')."""
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value")
+    out = asof.asof_join(left, right, on="ts", by="user_id",
+                         direction="forward")
+    return _round(out.select("event_id", F.col("value").alias("asof_value")),
+                  ["asof_value"])
+
+
+@register("asof_tolerance", """
+SELECT l.event_id,
+  CASE WHEN l.ts - r.ts <= INTERVAL 2 DAY THEN round(r.value, 6) END
+    AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+ON l.user_id = r.user_id AND r.ts <= l.ts
+""")
+def q_asof_tolerance(spark, sf_dir):
+    """J5 — backward as-of with a 2-day tolerance: matches farther back are
+    nulled (pd.merge_asof tolerance semantics)."""
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value")
+    out = asof.asof_join(left, right, on="ts", by="user_id",
+                         direction="backward",
+                         tolerance=F.expr("INTERVAL 2 DAYS"))
+    return _round(out.select("event_id", F.col("value").alias("asof_value")),
+                  ["asof_value"])
+
+
+# =====================================================================
+# Binning / MAD / autocorr / crossings (A5, A8, A20, A14, A21)
+# =====================================================================
+@register("bin_stat", """
+WITH b AS (
+  SELECT user_id,
+    CASE WHEN value > 150.0 THEN 0 WHEN value > 100.0 THEN 1
+         WHEN value > 50.0 THEN 2 ELSE 3 END AS bucket
+  FROM events),
+c AS (SELECT user_id, bucket, count(*) AS n FROM b GROUP BY user_id, bucket)
+SELECT user_id, bucket, n,
+  round(n / sum(n) OVER (PARTITION BY user_id), 6) AS ratio
+FROM c
+""")
+def q_bin_stat(spark, sf_dir):
+    """A5 — first-match descending-threshold binning + per-bucket count/ratio
+    (QRS_features.py:261-294)."""
+    ev = _events(spark, sf_dir)
+    out = stats.bin_stat(ev, "value", BIN_THRESHOLDS, by="user_id")
+    return _round(out.select("user_id", F.col("bucket").cast("int").alias("bucket"),
+                             "n", "ratio"), ["ratio"])
+
+
+@register("mad", """
+WITH med AS (SELECT user_id, quantile_cont(value, 0.5) AS m
+             FROM events GROUP BY user_id)
+SELECT e.user_id, round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+FROM events e JOIN med ON e.user_id = med.user_id
+GROUP BY e.user_id, med.m
+""")
+def q_mad(spark, sf_dir):
+    """A8 — median absolute deviation, two exact-median passes
+    (QRS_features.py:360-367)."""
+    ev = _events(spark, sf_dir)
+    out = stats.mad(ev, "value", by="user_id", out="mad")
+    return _round(out, ["mad"])
+
+
+@register("autocorr", """
+WITH lagged AS (
+  SELECT user_id, value,
+    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+    lag(value, 3) OVER w AS l3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+  round(corr(value, l1), 6) AS acf1,
+  round(corr(value, l2), 6) AS acf2,
+  round(corr(value, l3), 6) AS acf3
+FROM lagged GROUP BY user_id
+""")
+def q_autocorr(spark, sf_dir):
+    """A20 — lagged self-correlation per entity (QRS_features.py:29-30)."""
+    ev = _events(spark, sf_dir)
+    out = stats.autocorr(ev, "value", [1, 2, 3], by="user_id", order=_ORDER)
+    return _round(out, ["acf1", "acf2", "acf3"])
+
+
+@register("crossing_count", """
+WITH x AS (
+  SELECT user_id,
+    CASE WHEN (value - 100.0) *
+              (lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 100.0) < 0 THEN 1 ELSE 0 END AS c
+  FROM events)
+SELECT user_id, sum(c) AS n_crossings FROM x GROUP BY user_id
+""")
+def q_crossing(spark, sf_dir):
+    """A14 — threshold-crossing count at th=100 (LONG_features.py:107-119)."""
+    ev = _events(spark, sf_dir)
+    return stats.crossing_count(ev, "value", 100.0, by="user_id",
+                                order=_ORDER, out="n_crossings")
+
+
+@register("zigzag", """
+WITH x AS (
+  SELECT user_id,
+    CASE WHEN (value - lag(value) OVER w) *
+              (lead(value) OVER w - value) < 0 THEN 1 ELSE 0 END AS z
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(z) + 1 AS zigzag FROM x GROUP BY user_id
+""")
+def q_zigzag(spark, sf_dir):
+    """A21 — direction-change count + 1 (LONG_features.py:17-29)."""
+    ev = _events(spark, sf_dir)
+    return stats.zigzag(ev, "value", by="user_id", order=_ORDER, out="zigzag")
+
+
+# =====================================================================
+# Text analysis (documents table — F7 + scale additions)
+# =====================================================================
+@register("word_explode", r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents)
+SELECT word, count(*) AS n FROM w WHERE length(word) > 0
+GROUP BY word HAVING count(*) >= 5
+""")
+def q_word_explode(spark, sf_dir):
+    """R1 — explode-to-rows (the multi-label comma-parser analog,
+    extract_HRV.py:52-78) as a word-frequency query."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+                 .alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
+@register("token_counts", r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+    AS n_tokens_ws,
+  ceil(length(text) / 4.0)::BIGINT AS n_tokens_bpe_est,
+  length(text)::BIGINT AS n_chars_computed
+FROM documents
+""")
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish estimate (scale addition)."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.with_token_counts(d, "text")
+    return out.select("doc_id",
+                      F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+                      "n_tokens_bpe_est", "n_chars_computed")
+
+
+@register("quality_features", r"""
+WITH q AS (
+  SELECT doc_id, length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+      AS n_punct,
+    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
+    END AS n_stop
+  FROM documents)
+SELECT doc_id,
+  n_chars::BIGINT AS n_chars_q,
+  n_words::BIGINT AS n_words,
+  round(CASE WHEN n_words > 0
+    THEN (n_chars - (n_words - 1)) / n_words::DOUBLE ELSE 0.0 END, 6)
+    AS mean_word_len,
+  round(CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END, 6)
+    AS punct_ratio,
+  round(CASE WHEN n_words > 0 THEN n_stop / n_words::DOUBLE ELSE 0.0 END, 6)
+    AS stopword_ratio,
+  round(CASE WHEN n_chars > 0 THEN n_upper / n_chars::DOUBLE ELSE 0.0 END, 6)
+    AS upper_ratio,
+  round(CASE WHEN n_chars > 0 THEN n_digit / n_chars::DOUBLE ELSE 0.0 END, 6)
+    AS digit_ratio
+FROM q
+""")
+def q_quality(spark, sf_dir):
+    """Quality-scoring signals (length/punct/stopword ratios — scale
+    addition; reference analog: header-string parsing P6/F1)."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.quality_features(d, "text")
+    return _round(
+        out.select("doc_id", "n_chars_q", "n_words", "mean_word_len",
+                   "punct_ratio", "stopword_ratio", "upper_ratio",
+                   "digit_ratio"),
+        ["mean_word_len", "punct_ratio", "stopword_ratio", "upper_ratio",
+         "digit_ratio"])
+
+
+@register("langid", r"""
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> x IN ('der','die','und','ist'))) AS s_de,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> x IN ('the','and','of','is'))) AS s_en,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> x IN ('el','la','de','que'))) AS s_es,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        x -> x IN ('le','les','et','une'))) AS s_fr
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s
+""")
+def q_langid(spark, sf_dir):
+    """Language-ID heuristic via marker stopwords (scale addition)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.langid_heuristic(d, "text", "lang_pred").select(
+        "doc_id", "lang_pred")
+
+
+# =====================================================================
+# Deduplication (scale additions; P3 blacklist analog)
+# =====================================================================
+@register("dedup_exact", r"""
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep min-id row per normalized-text fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(d, "text", "doc_id").select("doc_id")
+
+
+@register("exact_dup_groups", r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+  count(*) AS n_dups,
+  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+""")
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact duplicate groups (fingerprint, members)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.exact_dups(d, "text", "doc_id")
+    return out.select(
+        "fingerprint", "n_dups",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",")
+        .alias("doc_ids"))
+
+
+@register("ngram_jaccard", r"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id,
+    array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+  round(n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE >= 0.5
+""")
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5 (shingle self-equijoin)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return _round(out, ["jaccard"])
+
+
+@register("minhash_lsh")  # xxhash64 signatures — no portable SQL oracle
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (rows-only check; numeric oracle vs
+    true Jaccard in tests/test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", n=3, k=64, bands=16,
+                                   threshold=0.5)
+
+
+@register("simhash_near_dups")  # md5-kernel fingerprints — tests/ oracle
+def q_simhash(spark, sf_dir):
+    """SimHash near-dups, hamming <= 3 within 16-bit blocks (rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=3)
+
+
+@register("hash_split")  # xxhash64 — determinism asserted in tests/
+def q_hash_split(spark, sf_dir):
+    """O7 — deterministic hash train/val/test split (80/10/10)."""
+    d = _t(spark, sf_dir, "documents")
+    return splits.hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split")
+
+
+# =====================================================================
+# Similarity search (embeddings table — scale additions)
+# =====================================================================
+@register("cosine_topk", """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_dot_product(qv, cv)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+      AS cos
+  FROM q, c WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 5
+""")
+def q_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k (ANN baseline; JVM-side fold dot
+    products, broadcast query side)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cos")
+
+
+@register("lsh_topk")  # recall-dependent — rows-only; recall test in tests/
+def q_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-k (the 100 TB path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 8), dim=64,
+                               k=5)
+
+
+@register("embedding_near_dup")  # LSH recall-dependent — rows-only
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, dim=64, threshold=0.9)
+
+
+# =====================================================================
+# Arrow kernels over the image payload (U rows — rows-only + pytest oracles)
+# =====================================================================
+_KERNEL_N_IMAGES = 240
+
+
+def _images(spark):
+    return datagen.images_df(spark, _KERNEL_N_IMAGES, seed=42)
+
+
+@register("image_decode_stats")
+def q_decode_stats(spark, sf_dir):
+    """U1/U3 analog — decode binary payload, per-image pixel stats
+    (mapInPandas, no shuffle)."""
+    img = _images(spark)
+    out = kernels.decode_stats(img, keep=["image_id"])
+    return _round(out, ["px_mean", "px_std", "luma_mean", "luma_std",
+                        "r_mean", "g_mean", "b_mean"])
+
+
+@register("image_phash_check")
+def q_phash_check(spark, sf_dir):
+    """U2 analog — recompute pHash from bytes; hamming vs stored must be 0."""
+    return kernels.phash_check(_images(spark))
+
+
+@register("image_psnr_roundtrip")
+def q_psnr(spark, sf_dir):
+    """Payload invariant — decode/re-encode/decode PSNR (>= 40 dB lossy)."""
+    out = kernels.psnr_roundtrip(_images(spark))
+    return _round(out, ["psnr_db"])
+
+
+@register("sample_entropy")
+def q_sample_entropy(spark, sf_dir):
+    """U4 — per-entity SampEn m=1,2 grouped Arrow kernel (numpy oracle in
+    tests/test_kernels.py)."""
+    ev = _events(spark, sf_dir)
+    out = kernels.sample_entropy_agg(ev, "value", "user_id", "ts", m_max=2)
+    return _round(out, ["sampen1", "sampen2"])
+
+
+@register("fft_band_power")
+def q_fft(spark, sf_dir):
+    """U6 — per-entity periodogram band powers (numpy oracle in tests/)."""
+    ev = _events(spark, sf_dir)
+    out = kernels.fft_band_power_agg(ev, "value", "user_id", "ts", fs=1.0)
+    return _round(out, [c for c in
+                        ("band0", "band1", "band2", "band3", "band4", "band5",
+                         "total_power")])
+
+
+@register("flagship")
+def q_flagship(spark, sf_dir):
+    """E1 — the full as-of + windowed feature-vector pipeline (rows-only;
+    allclose + leakage asserted in tests/test_flagship.py)."""
+    return flagship_plan.flagship(spark, sf_dir, n_images=_KERNEL_N_IMAGES)

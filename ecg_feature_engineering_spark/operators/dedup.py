@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 
 from ecg_feature_engineering_spark.operators.text import fingerprint
 
-# 64 fixed odd multipliers for the k minhash permutations h_i(x) = a_i*x+b_i mod p
-_MINHASH_PRIME = (1 << 61) - 1
+# k affine minhash permutations h_i(x) = (a_i*x + b_i) mod p over a 31-bit
+# Mersenne prime: with x, a < 2^31 the product stays < 2^62, inside int64 —
+# required under Spark's default ANSI overflow checking
+_MINHASH_PRIME = (1 << 31) - 1
 _MINHASH_SEED = 0x5EED
 
 
@@ -185,9 +187,10 @@ def simhash64(df: DataFrame, text_col: str = "text",
                 toks = str(text).lower().split()
                 votes = np.zeros(64, dtype=np.int64)
                 for t in toks:
-                    hv = int.from_bytes(
-                        hashlib.md5(t.encode()).digest()[:8], "big")
-                    bits = (hv >> np.arange(64)) & 1
+                    hv = np.uint64(int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "big"))
+                    bits = ((hv >> np.arange(64, dtype=np.uint64))
+                            & np.uint64(1)).astype(np.int64)
                     votes += 2 * bits - 1
                 sh = int(((votes > 0).astype(np.uint64)
                           << np.arange(64, dtype=np.uint64)).sum())

@@ -75,10 +75,14 @@ def langid_heuristic(df: DataFrame, text_col: str = "text",
     not a model — the point is the distributed shape (scan-local, no shuffle).
     """
     ws = words(F.lower(F.col(text_col)))
-    scores = {
-        lang: F.size(F.filter(ws, lambda x, m=markers: x.isin(*m)))
-        for lang, markers in _LANG_MARKERS.items()
-    }
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        # single-arg lambda: PySpark inspects arity, so the marker list must
+        # be closed over, not passed as a defaulted second parameter
+        return F.size(F.filter(ws, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(markers)
+              for lang, markers in _LANG_MARKERS.items()}
     langs = sorted(_LANG_MARKERS)
     # deterministic argmax: max over (score, -lang_index) struct tuples
     arr = F.array(*[

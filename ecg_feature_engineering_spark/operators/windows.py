@@ -117,10 +117,22 @@ def rolling(
 def rolling_median3(df: DataFrame, value: str, by="entity_id", order="ts",
                     out: str | None = None) -> DataFrame:
     """Centered 3-point rolling median (QRS_features.py:20-27 preprocessing for
-    the PointMedian stats, A3). Endpoints use the available 2-point frame —
-    matching numpy-median-over-slice semantics of the reference."""
-    w = entity_window(by, order).rowsBetween(-1, 1)
-    return df.withColumn(out or f"{value}_med3", F.median(value).over(w))
+    the PointMedian stats, A3). Endpoints use the available 2-point frame
+    (median of 2 = their mean) — matching numpy-median-over-slice semantics.
+
+    Spark disallows ``median`` with a window frame, so the 3-point median is
+    closed-form: med3(a,b,c) = greatest(least(a,b), least(greatest(a,b), c))
+    — pure codegen-able expressions, no kernel."""
+    w = entity_window(by, order)
+    a, b, c = F.lag(value).over(w), F.col(value), F.lead(value).over(w)
+    med3 = F.greatest(F.least(a, b), F.least(F.greatest(a, b), c))
+    expr = (
+        F.when(a.isNull() & c.isNull(), b)
+        .when(a.isNull(), (b + c) / 2)
+        .when(c.isNull(), (a + b) / 2)
+        .otherwise(med3)
+    )
+    return df.withColumn(out or f"{value}_med3", expr)
 
 
 def trim_endpoints(df: DataFrame, by="entity_id", order="ts",
@@ -151,11 +163,15 @@ def sliding_segments(
     ~seg_rows/stride_rows (documented fan-out, not a hidden blowup).
     """
     w = entity_window(by, order)
-    i = F.row_number().over(w) - 1
-    lo = F.greatest(F.lit(0), F.floor((i - seg_rows + stride_rows) / stride_rows))
+    # materialize the row index first: a generator (explode) can't contain a
+    # window expression in the same projection
+    staged = df.withColumn("__i", F.row_number().over(w) - 1)
+    i = F.col("__i")
+    lo = F.greatest(F.lit(0).cast("long"),
+                    F.floor((i - seg_rows + stride_rows) / stride_rows))
     hi = F.floor(i / stride_rows)
     return (
-        df.withColumn("__i", i)
-          .withColumn(out, F.explode(F.sequence(lo.cast("long"), hi.cast("long"))))
-          .drop("__i")
+        staged.withColumn(out, F.explode(F.sequence(lo.cast("long"),
+                                                    hi.cast("long"))))
+        .drop("__i")
     )
