@@ -146,16 +146,21 @@ def sample_entropy_np(x: np.ndarray, m_max: int = 2, r: float | None = None
         return out
     if r is None:
         r = 0.2 * x.std()
-    counts = []
-    for m in range(1, m_max + 2):
-        k = n - m + 1
-        templ = np.lib.stride_tricks.sliding_window_view(x, m)  # (k, m)
-        # pairwise Chebyshev distances, vectorized; k is bounded per entity
+
+    def pair_count(m: int, k: int) -> int:
+        # pairwise Chebyshev matches among the first k length-m templates;
+        # k is bounded per entity so the (k,k) block is fine in one task
+        templ = np.lib.stride_tricks.sliding_window_view(x, m)[:k]
         d = np.abs(templ[:, None, :] - templ[None, :, :]).max(axis=2)
         iu = np.triu_indices(k, 1)
-        counts.append(np.count_nonzero(d[iu] <= r))
+        return int(np.count_nonzero(d[iu] <= r))
+
     for m in range(1, m_max + 1):
-        b, a = counts[m - 1], counts[m]
+        # canonical Richman-Moorman: BOTH template sets have N-m elements
+        # (length-m templates truncated by one), so SampEn(const) == 0
+        k = n - m
+        b = pair_count(m, k)
+        a = pair_count(m + 1, k)
         if b == 0 or a == 0:
             out[m - 1] = -2.0 if b == 0 else -1.0  # nan / inf patch
         else:

@@ -149,11 +149,16 @@ def _asof_union_window(left, right, on, by, right_on, direction, tolerance,
 def _asof_merge_pandas(left, right, on, by, right_on, direction, tolerance,
                        suffix) -> DataFrame:
     import pandas as pd  # executor-side import
+    from pyspark.sql.types import StructField, StructType
 
     vcols = _right_value_cols(left, right, by, right_on, suffix)
-    out_schema = left.schema.add(_RTS, left.schema[on].dataType)
-    for rc, oc in vcols:
-        out_schema = out_schema.add(oc, right.schema[rc].dataType)
+    # build a fresh StructType: StructType.add mutates in place and would
+    # corrupt the input DataFrame's cached schema
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(_RTS, left.schema[on].dataType)]
+        + [StructField(oc, right.schema[rc].dataType) for rc, oc in vcols]
+    )
 
     tol_pd = None
     if tolerance is not None:

@@ -19,6 +19,9 @@ def streaming_session_aggs(events: DataFrame, gap: str = "30 minutes",
     """Per-(entity, gap-session) aggregates on a streaming DataFrame.
     Append-mode compatible: results finalize once the watermark passes the
     session gap."""
+    # watermarks demand TIMESTAMP (not TIMESTAMP_NTZ, the parquet default);
+    # session tz is pinned UTC (session.py) so the cast is value-preserving
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     return (
         events.withWatermark(ts, watermark)
         .groupBy(F.session_window(F.col(ts), gap).alias("session"), F.col(by))
@@ -36,6 +39,7 @@ def streaming_sliding_aggs(events: DataFrame, length: str = "10 minutes",
                            value: str = "value") -> DataFrame:
     """Sliding-window aggregates (W5 analog: SegSig_1d overlap slicing,
     HRV_features.py:32-58) in streaming form."""
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
     return (
         events.withWatermark(ts, watermark)
         .groupBy(F.window(F.col(ts), length, slide).alias("win"), F.col(by))

@@ -1,0 +1,123 @@
+"""As-of join: both strategies vs pd.merge_asof ground truth, leakage,
+tolerance, forward direction. (SURVEY.md J5 — the engine centerpiece.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ecg_feature_engineering_spark.operators import asof
+
+
+def _mkdata(seed=7, n_entities=6, n_left=40, n_right=60):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "entity_id": [f"e{int(i)}" for i in
+                      rng.integers(0, n_entities, n_left)],
+        "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n_left), unit="s"),
+        "lval": rng.normal(size=n_left).round(3),
+    })
+    right = pd.DataFrame({
+        "entity_id": [f"e{int(i)}" for i in
+                      rng.integers(0, n_entities, n_right)],
+        "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n_right), unit="s"),
+        "rval": rng.normal(size=n_right).round(3),
+    })
+    # duplicate-ts probe: exact-match tie case
+    left.loc[0, "ts"] = right.loc[0, "ts"]
+    left.loc[0, "entity_id"] = right.loc[0, "entity_id"]
+    return left, right
+
+
+def _oracle(left, right, direction="backward", tolerance=None):
+    out = []
+    for ent, lgrp in left.groupby("entity_id"):
+        rgrp = right[right.entity_id == ent].sort_values("ts")
+        merged = pd.merge_asof(
+            lgrp.sort_values("ts"), rgrp[["ts", "rval"]], on="ts",
+            direction=direction, tolerance=tolerance,
+            allow_exact_matches=True)
+        out.append(merged)
+    return (pd.concat(out).sort_values(["entity_id", "ts", "lval"])
+            .reset_index(drop=True))
+
+
+def _run(spark, left, right, **kw):
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    out = asof.asof_join(ldf, rdf, on="ts", by="entity_id", **kw)
+    return (out.toPandas().sort_values(["entity_id", "ts", "lval"])
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "merge_asof"])
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(spark, strategy, direction):
+    left, right = _mkdata()
+    got = _run(spark, left, right, direction=direction, strategy=strategy)
+    want = _oracle(left, right, direction=direction)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["rval"].to_numpy(float), want["rval"].to_numpy(float),
+        rtol=0, atol=0, equal_nan=True)
+
+
+def test_asof_tolerance(spark):
+    left, right = _mkdata()
+    got = _run(spark, left, right, direction="backward",
+               tolerance=None, strategy="union_window")
+    # now with tolerance — matches farther than 1 day are nulled
+    from pyspark.sql import functions as F
+    got_tol = _run(spark, left, right, direction="backward",
+                   tolerance=F.expr("INTERVAL 1 DAYS"))
+    want = _oracle(left, right, tolerance=pd.Timedelta("1 day"))
+    np.testing.assert_allclose(
+        got_tol["rval"].to_numpy(float), want["rval"].to_numpy(float),
+        rtol=0, atol=0, equal_nan=True)
+    # tolerance only ever nulls, never changes a match
+    both = ~(np.isnan(got_tol["rval"].to_numpy(float))
+             | np.isnan(got["rval"].to_numpy(float)))
+    assert (got_tol["rval"].to_numpy(float)[both]
+            == got["rval"].to_numpy(float)[both]).all()
+
+
+def test_zero_temporal_leakage(spark):
+    """Perturbing any right row strictly after a probe ts must not change
+    that probe's output (north rule)."""
+    left, right = _mkdata(seed=11)
+    base = _run(spark, left, right)
+    cutoff = left["ts"].quantile(0.5)
+    perturbed = right.copy()
+    future = perturbed["ts"] > cutoff
+    assert future.any()
+    perturbed.loc[future, "rval"] = 1e9  # poison the future
+    got = _run(spark, left, perturbed)
+    early = base["ts"] <= cutoff
+    np.testing.assert_array_equal(
+        base.loc[early, "rval"].to_numpy(float),
+        got.loc[early, "rval"].to_numpy(float))
+
+
+def test_strategies_agree(spark):
+    left, right = _mkdata(seed=23, n_entities=3, n_left=80, n_right=50)
+    a = _run(spark, left, right, strategy="union_window")
+    b = _run(spark, left, right, strategy="merge_asof")
+    np.testing.assert_allclose(a["rval"].to_numpy(float),
+                               b["rval"].to_numpy(float),
+                               rtol=0, atol=0, equal_nan=True)
+
+
+def test_exact_match_inclusive(spark):
+    """A right row at exactly the probe ts is matched (allow_exact_matches)."""
+    left = pd.DataFrame({"entity_id": ["a"],
+                         "ts": [pd.Timestamp("2024-01-02")], "lval": [1.0]})
+    right = pd.DataFrame({
+        "entity_id": ["a", "a"],
+        "ts": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02")],
+        "rval": [10.0, 20.0]})
+    got = _run(spark, left, right)
+    assert got["rval"].iloc[0] == 20.0
+    got_f = _run(spark, left, right, direction="forward")
+    assert got_f["rval"].iloc[0] == 20.0

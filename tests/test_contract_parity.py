@@ -1,0 +1,63 @@
+"""The driver correctness gate, in-process: every queries()[name] vs its
+DuckDB oracle at sf0.001 — row count, column names, exact rounded values."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _oracle_names():
+    import __spark_entry__ as e
+    return sorted(e.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    import __spark_entry__ as e
+    sdf = e.queries()[name](spark, sf_dir).toPandas()
+    ddf = duck.execute(e.oracle_sql()[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf)
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    b = ddf[cols].sort_values(cols, na_position="last").reset_index(drop=True)
+    for c in cols:
+        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+            af, bf = a[c].astype(float).to_numpy(), b[c].astype(float).to_numpy()
+            eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+            assert eq.all(), f"{name}.{c}: {np.flatnonzero(~eq)[:5]}"
+        else:
+            assert a[c].where(pd.notna(a[c]), None).tolist() == \
+                b[c].where(pd.notna(b[c]), None).tolist(), f"{name}.{c}"
+
+
+def _rows_only_names():
+    import __spark_entry__ as e
+    qs, oracles = e.queries(), e.oracle_sql()
+    return sorted(set(qs) - set(oracles))
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_queries_run(spark, sf_dir, name):
+    import __spark_entry__ as e
+    df = e.queries()[name](spark, sf_dir)
+    pdf = df.limit(10000).toPandas()
+    assert list(pdf.columns)  # stable schema
+    if name not in ("embedding_near_dup",):  # legitimately may be empty
+        assert len(pdf) > 0, name

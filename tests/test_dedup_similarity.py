@@ -1,0 +1,131 @@
+"""Dedup families (exact / Jaccard / MinHash+LSH / SimHash) and similarity
+search (cosine top-k, LSH ANN) vs ground-truth oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from ecg_feature_engineering_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "THE  Quick   Brown fox jumps over the lazy dog"),  # exact after norm
+        (3, "completely different text about spark windows"),
+        (4, "completely different text about spark windows"),  # exact dup of 3
+        (5, "unrelated short doc"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _true_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        toks = " ".join(t.lower().split()).split(" ")
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.dedup_exact(docs, "text", "doc_id").toPandas()
+    # 2 normalizes to 0's text, 4 == 3 -> keep min ids
+    assert set(kept["doc_id"]) == {0, 1, 3, 5, 6}
+    groups = dedup.exact_dups(docs, "text", "doc_id").toPandas()
+    members = {tuple(g) for g in groups["doc_ids"]}
+    assert members == {(0, 2), (3, 4)}
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                    threshold=0.4).toPandas()
+    got_pairs = {(a, b): j for a, b, j in got.to_numpy()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), j in got_pairs.items():
+        assert np.isclose(j, _true_jaccard(texts[a], texts[b]))
+    assert (0, 1) in got_pairs and (0, 2) in got_pairs
+    assert (3, 4) in got_pairs and got_pairs[(3, 4)] == 1.0
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark, docs):
+    got = dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3, k=64,
+                                  bands=16, threshold=0.3).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    # identical docs always collide in every band
+    assert (3, 4) in pairs and (0, 2) in pairs
+    est = dict(zip(map(tuple, got[["id_a", "id_b"]].to_numpy()),
+                   got["jaccard_est"]))
+    assert est[(3, 4)] == 1.0
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), e in est.items():
+        assert abs(e - _true_jaccard(texts[a], texts[b])) < 0.35  # k=64 noise
+
+
+def test_simhash_near_dups(spark, docs):
+    sig = dedup.simhash64(docs, "text", "doc_id").toPandas()
+    assert sig["simhash"].nunique() >= 5  # distinct content -> distinct hashes
+    by_id = dict(zip(sig["doc_id"], sig["simhash"]))
+    assert by_id[3] == by_id[4]  # identical text -> identical simhash
+    got = dedup.simhash_near_dups(spark.createDataFrame(
+        pd.DataFrame([(0, "alpha beta gamma delta epsilon zeta"),
+                      (1, "alpha beta gamma delta epsilon zeta"),
+                      (2, "totally other words here now")],
+                     columns=["doc_id", "text"])), "text", "doc_id",
+        max_hamming=3).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=4) \
+        .toPandas()
+    pdf = emb.toPandas()
+    M = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    for q in range(3):
+        qi = np.flatnonzero(ids == q)[0]
+        cos = M @ M[qi]
+        cos[qi] = -np.inf
+        want = ids[np.argsort(-cos, kind="stable")[:4]]
+        rows = got[got["query_id"] == q].sort_values("rank")
+        assert list(rows["neighbor_id"]) == list(want)
+        np.testing.assert_allclose(
+            rows["cos"].to_numpy(),
+            np.round(np.sort(cos)[::-1][:4], 6), atol=1e-6)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    # near-orthogonal random embeddings: use short 4-bit hashes x 8 tables so
+    # collision probability (1 - theta/pi)^4 per table stays useful
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=4,
+                                 tables=8).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index]
+    assert np.mean(recalls) >= 0.25  # ANN recall floor at 8 tables x 4 planes
+
+
+def test_embedding_near_dup_self_detect(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    # duplicate vec 0 under a new id -> cosine 1 pair must be found
+    dup = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    both = emb.unionByName(dup)
+    got = similarity.cosine_near_dup_pairs(both, dim=64, threshold=0.99) \
+        .toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    assert (0, 100000) in pairs

@@ -1,0 +1,68 @@
+"""Flagship end-to-end plan: driver entry contract, determinism, and the
+north rule's zero-temporal-leakage property at the pipeline level."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ecg_feature_engineering_spark.plans.flagship import flagship
+
+
+def _collect(df):
+    pdf = df.toPandas()
+    keys = ["entity_id", "as_of_ts"]
+    return pdf.sort_values(keys + ["image_id"]).reset_index(drop=True)
+
+
+def test_entry_contract(spark, sf_dir):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    pdf = df.limit(2000).toPandas()
+    assert len(pdf) > 0
+    assert {"entity_id", "as_of_ts", "px_mean", "phash_bits", "roll_mean",
+            "session_id"} <= set(pdf.columns)
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40 and len(oracles) >= 30
+
+
+def test_flagship_deterministic(spark, sf_dir):
+    a = _collect(flagship(spark, sf_dir, n_images=120))
+    b = _collect(flagship(spark, sf_dir, n_images=120))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_flagship_zero_temporal_leakage(spark, sf_dir, tmp_path):
+    """Poisoning every event after a cutoff must leave feature rows with
+    as_of_ts <= cutoff bit-identical (as-of direction + trailing frames)."""
+    # snapshots_df spans 2024-01-01 +/- a day or two: pick a cutoff inside it
+    cutoff = pd.Timestamp("2024-01-02")
+    base = _collect(flagship(spark, sf_dir, n_images=120))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    poisoned = ev.withColumn(
+        "value",
+        F.when(F.col("ts") > F.lit(str(cutoff)), F.col("value") + 1e9)
+        .otherwise(F.col("value")))
+    alt_dir = str(tmp_path / "sfX")
+    poisoned.write.parquet(f"{alt_dir}/events.parquet")
+    got = _collect(flagship(spark, alt_dir, n_images=120))
+
+    mask = base["as_of_ts"] <= cutoff
+    assert mask.sum() > 10
+    a = base.loc[mask].reset_index(drop=True)
+    b = got.loc[mask.to_numpy()].reset_index(drop=True)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f":
+            np.testing.assert_array_equal(av.to_numpy(), bv.to_numpy(),
+                                          err_msg=c)
+        else:
+            assert av.where(av.notna(), None).tolist() == \
+                bv.where(bv.notna(), None).tolist(), c
+    # sanity: the poison actually changed something after the cutoff
+    after = base["as_of_ts"] > cutoff
+    assert not got.loc[after.to_numpy(), "roll_mean"].equals(
+        base.loc[after, "roll_mean"])

@@ -1,0 +1,138 @@
+"""Arrow kernels vs numpy oracles: sample entropy, periodogram band powers,
+image decode stats, pHash integrity, PSNR payload invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ecg_feature_engineering_spark.datagen import codecs
+from ecg_feature_engineering_spark.datagen import images as datagen
+from ecg_feature_engineering_spark.functions import kernels
+
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _sampen_bruteforce(x, m, r):
+    """Literal O(n^2) Richman-Moorman count for one m — both template sets
+    restricted to the first N-m templates (canonical definition)."""
+    def count(mm, k):
+        c = 0
+        for i in range(k):
+            for j in range(i + 1, k):
+                if max(abs(x[i + t] - x[j + t]) for t in range(mm)) <= r:
+                    c += 1
+        return c
+    k = len(x) - m
+    b, a = count(m, k), count(m + 1, k)
+    if b == 0:
+        return -2.0
+    if a == 0:
+        return -1.0
+    return -np.log(a / b)
+
+
+def test_sample_entropy_np_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=60)
+    r = 0.2 * x.std()
+    got = kernels.sample_entropy_np(x, m_max=2)
+    for m in (1, 2):
+        want = _sampen_bruteforce(x, m, r)
+        assert np.isclose(got[m - 1], want), m
+
+
+def test_sample_entropy_short_series_patch():
+    assert (kernels.sample_entropy_np(np.array([1.0]), 2) == [-2.0, -2.0]).all()
+    # constant series: every template matches -> A=B -> SampEn 0
+    got = kernels.sample_entropy_np(np.full(20, 3.14), 2)
+    assert np.allclose(got, 0.0)
+
+
+def test_sample_entropy_agg(spark, sf_dir, events_pdf):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = (kernels.sample_entropy_agg(ev, "value", "user_id", "ts", 2)
+           .toPandas().set_index("user_id"))
+    for uid, grp in list(events_pdf.groupby("user_id"))[:5]:
+        x = grp.sort_values("ts")["value"].to_numpy()
+        want = kernels.sample_entropy_np(x, 2)
+        assert np.isclose(got.loc[uid, "sampen1"], want[0])
+        assert np.isclose(got.loc[uid, "sampen2"], want[1])
+
+
+def test_periodogram_parseval():
+    """One-sided density periodogram must satisfy Parseval: sum(pxx)*fs/n
+    == mean(x^2) (boxcar window, density scaling)."""
+    rng = np.random.default_rng(5)
+    for n in (64, 65):
+        x = rng.normal(size=n)
+        freqs, pxx = kernels.periodogram_np(x, fs=2.0)
+        assert len(freqs) == n // 2 + 1
+        assert np.isclose(pxx.sum() * 2.0 / n, (x**2).mean())
+
+
+def test_fft_band_power_agg(spark, sf_dir, events_pdf):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = (kernels.fft_band_power_agg(ev, "value", "user_id", "ts", fs=1.0)
+           .toPandas().set_index("user_id"))
+    bands = [(0, 0.05), (0.05, 0.1), (0.1, 0.2), (0.2, 0.3), (0.3, 0.4),
+             (0.4, 0.5)]
+    for uid, grp in list(events_pdf.groupby("user_id"))[:4]:
+        x = grp.sort_values("ts")["value"].to_numpy()
+        freqs, pxx = kernels.periodogram_np(x, 1.0)
+        for i, (lo, hi) in enumerate(bands):
+            want = pxx[(freqs >= lo) & (freqs < hi)].sum()
+            assert np.isclose(got.loc[uid, f"band{i}"], want), (uid, i)
+        assert np.isclose(got.loc[uid, "total_power"], pxx.sum())
+
+
+def test_decode_stats_matches_numpy(spark):
+    img = datagen.images_df(spark, 60, seed=9)
+    got = kernels.decode_stats(img, keep=["image_id"]).toPandas() \
+        .set_index("image_id")
+    pdf = img.select("image_id", "bytes", "fmt").toPandas()
+    for _, row in pdf.iloc[:20].iterrows():
+        px = codecs.decode(row["bytes"], row["fmt"]).astype(np.float64)
+        luma = px @ _LUMA
+        r = got.loc[row["image_id"]]
+        assert np.isclose(r["px_mean"], px.mean())
+        assert np.isclose(r["px_std"], px.std())
+        assert np.isclose(r["luma_mean"], luma.mean())
+        assert np.isclose(r["r_mean"], px[..., 0].mean())
+        assert r["decoded_w"] == px.shape[1]
+
+
+def test_phash_integrity(spark):
+    """Stored phash (hot-prefix rows excluded) must equal the recomputed one."""
+    img = datagen.images_df(spark, 120, seed=42)
+    got = kernels.phash_check(img).toPandas()
+    hot = (got["phash_stored"].to_numpy().astype(np.int64) >> 48
+           & 0xFFFF) == 0x7FEE
+    assert (got.loc[~hot, "hamming"] == 0).all()
+    assert hot.sum() > 0  # the skew knob is actually exercised
+
+
+def test_psnr_invariant(spark):
+    img = datagen.images_df(spark, 90, seed=42)
+    got = kernels.psnr_roundtrip(img).toPandas()
+    lossless = got["fmt"].isin(["png", "bmp"])
+    assert (got.loc[lossless, "psnr_db"] == 999.0).all()  # exact round-trip
+    assert (got.loc[~lossless, "psnr_db"] >= 40.0).all()  # input_hint: >=40dB
+
+
+def test_codec_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    for fmt in ("png", "bmp"):
+        assert (codecs.decode(codecs.encode(px, fmt), fmt) == px).all(), fmt
+    lossy = codecs.decode(codecs.encode(px, "jpeg"), "jpeg")
+    assert codecs.psnr(px, lossy) >= 40.0
+
+
+def test_phash_deterministic_and_sensitive():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    h1 = codecs.phash64(px)
+    h2 = codecs.phash64(px.copy())
+    assert h1 == h2
+    other = codecs.phash64(255 - px)
+    assert h1 != other
