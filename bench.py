@@ -1,0 +1,191 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., ...extras}
+
+Each query is fully materialized through the noop sink (no collect, no
+driver bottleneck). The flagship query doubles as the images/sec
+end-to-end metric from BASELINE.json.
+
+Scaling evidence (north rule, sandbox stand-in for N vs 4N executors):
+  SPARK_GRAFT_CPUS=8 python bench.py   # N
+  SPARK_GRAFT_CPUS=32 python bench.py  # 4N
+results summarized in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ecg_feature_engineering_spark import contract  # noqa: E402
+from ecg_feature_engineering_spark.datagen import images as datagen  # noqa: E402
+from ecg_feature_engineering_spark.functions import kernels  # noqa: E402
+from ecg_feature_engineering_spark.plans import flagship as fplan  # noqa: E402
+from ecg_feature_engineering_spark.session import (  # noqa: E402
+    get_spark,
+    stop_spark,
+    warm_python_workers,
+)
+
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "6000"))
+N_SCALING = int(os.environ.get("BENCH_SCALING_IMAGES", "500000"))
+SCALING_STAGE = os.environ.get(
+    "BENCH_SCALING_STAGE", f"/tmp/spark_graft_scaling_images_{N_SCALING}")
+SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+# scan-partition size for the Python-kernel stage: must be sized by decode
+# CPU cost, not the 128MB JVM default, or the kernel can't parallelize
+SCALING_MPB = os.environ.get("BENCH_SCALING_MPB", "6m")
+
+# headline queries from the contract registry (each runs at the bench sf)
+CONTRACT_QUERIES = [
+    "tpch_pricing_summary",
+    "shipping_priority",
+    "hrv_features",
+    "basic_stats",
+    "lag_diffs",
+    "sessionize",
+    "session_aggs",
+    "rolling_stats",
+    "ffill",
+    "asof_backward",
+    "minhash_lsh",
+    "dedup_exact",
+    "cosine_topk",
+    "quality_features",
+    "sample_entropy",
+]
+
+
+def materialize(df) -> int:
+    """Force full computation of every column without collecting to the
+    driver (noop sink keeps the sink cost out of the measurement)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_one(fn, *args) -> float:
+    t0 = time.time()
+    materialize(fn(*args))
+    return round(time.time() - t0, 3)
+
+
+def _scaling_stage(sf_dir: str) -> None:
+    """Write the scaling corpus once (production shape: the measured job
+    SCANS an image table, it doesn't generate one)."""
+    if os.path.exists(f"{SCALING_STAGE}/_SUCCESS"):
+        return
+    spark = get_spark(app_name="bench-stage", cores=32)
+    datagen.images_df(spark, N_SCALING, seed=42, min_side=24, max_side=32,
+                      parts=256).write.mode("overwrite").parquet(SCALING_STAGE)
+    datagen.snapshots_df(spark, N_SCALING // 20, 12, seed=42).write.mode(
+        "overwrite").parquet(SCALING_STAGE + "_snapshots")
+    stop_spark()
+
+
+def _scaling_run(sf_dir: str, cores: int) -> float:
+    """Median wall time of the full flagship plan (scan -> fused image
+    kernel -> caption features -> as-of joins -> event window features) over
+    the staged corpus at the given core count."""
+    import statistics
+
+    stop_spark()
+    spark = get_spark(
+        app_name=f"bench-scale-{cores}", cores=cores,
+        extra_conf={"spark.sql.files.maxPartitionBytes": SCALING_MPB})
+    warm_python_workers(spark)
+    images = spark.read.parquet(SCALING_STAGE)
+    n_entities = N_SCALING // 20
+    snapshots = spark.read.parquet(SCALING_STAGE + "_snapshots")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = []
+    for _ in range(SCALING_REPEATS):
+        t0 = time.time()
+        materialize(fplan.feature_plan(images, snapshots, events, n_entities))
+        ts.append(time.time() - t0)
+    stop_spark()
+    return round(statistics.median(ts), 3)
+
+
+def scaling_evidence(sf_dir: str) -> dict:
+    """North-rule criterion, sandbox stand-in: same job, same input, local[8]
+    (N) vs local[32] (4N); throughput at both + efficiency
+    = thr_4N / (4 * thr_N)."""
+    _scaling_stage(sf_dir)
+    sec_n = _scaling_run(sf_dir, 8)
+    sec_4n = _scaling_run(sf_dir, 32)
+    thr_n = N_SCALING / sec_n
+    thr_4n = N_SCALING / sec_4n
+    return {
+        "job": "flagship feature_plan over staged image table",
+        "n_images": N_SCALING,
+        "cores_n": 8,
+        "cores_4n": 32,
+        "sec_n": sec_n,
+        "sec_4n": sec_4n,
+        "images_per_sec_n": round(thr_n, 1),
+        "images_per_sec_4n": round(thr_4n, 1),
+        "scaling_efficiency": round(thr_4n / (4 * thr_n), 3),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench", cores=cpus)
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Python workers once so timings measure steady state
+    spark.range(10**6).selectExpr("sum(id)").collect()
+
+    for name in CONTRACT_QUERIES:
+        timings[name] = bench_one(contract.QUERY_BUILDERS[name], spark, sf_dir)
+
+    # image payload pipeline: decode + stats over N_IMAGES synthetic images
+    t0 = time.time()
+    img = datagen.images_df(spark, N_IMAGES, seed=42)
+    materialize(kernels.decode_stats(img, keep=["image_id"]))
+    timings["image_decode_stats"] = round(time.time() - t0, 3)
+
+    # flagship end-to-end (as-of join + windowed features + image kernels)
+    t0 = time.time()
+    materialize(fplan.flagship(spark, sf_dir, n_images=N_IMAGES))
+    flagship_sec = round(time.time() - t0, 3)
+    timings["flagship"] = flagship_sec
+
+    total = round(sum(timings.values()), 3)
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("BENCH_SKIP_SCALING", "") != "1":
+        scaling = scaling_evidence(sf_dir)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+        "n_images": N_IMAGES,
+        "images_per_sec_flagship": round(N_IMAGES / flagship_sec, 1),
+        "images_per_sec_decode": round(
+            N_IMAGES / timings["image_decode_stats"], 1),
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

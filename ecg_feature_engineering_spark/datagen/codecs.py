@@ -167,30 +167,33 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT32 = _dct_matrix(32)
 
 
-def phash64(px: np.ndarray) -> int:
-    """Classic 64-bit perceptual hash (public algorithm: resize 32x32 grayscale
-    -> 2-D DCT-II -> top-left 8x8 -> bit per coefficient > median of AC terms).
-
-    Signed int64 (two's complement) so it fits the ``phash:int64`` column from
-    BASELINE.json input_hint.
-    """
-    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+def gray_resize32(gray: np.ndarray) -> np.ndarray:
+    """Area-mean resize of a 2-D grayscale array to 32x32 via integral image
+    (deterministic, no interpolation library)."""
     h, w = gray.shape
-    # area-mean resize to 32x32 (deterministic, no interpolation library)
+    # area-mean resize to 32x32 via integral image, fully vectorized
     ys = (np.arange(33) * h // 32).astype(int)
     xs = (np.arange(33) * w // 32).astype(int)
-    small = np.empty((32, 32))
     csum = np.zeros((h + 1, w + 1))
     csum[1:, 1:] = gray.cumsum(0).cumsum(1)
-    for yi in range(32):
-        y0, y1 = ys[yi], max(ys[yi + 1], ys[yi] + 1)
-        for xi in range(32):
-            x0, x1 = xs[xi], max(xs[xi + 1], xs[xi] + 1)
-            area = (y1 - y0) * (x1 - x0)
-            small[yi, xi] = (
-                csum[y1, x1] - csum[y0, x1] - csum[y1, x0] + csum[y0, x0]
-            ) / area
-    coef = (_DCT32 @ small @ _DCT32.T)[:8, :8].flatten()
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (
+        csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)]
+        - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]
+    ) / area
+
+
+def dct32(small: np.ndarray) -> np.ndarray:
+    """2-D DCT-II of a 32x32 block (orthonormal)."""
+    return _DCT32 @ small @ _DCT32.T
+
+
+def phash_from_dct(coef8: np.ndarray) -> int:
+    """Pack the top-left 8x8 DCT block into the classic 64-bit pHash:
+    bit per coefficient > median of the AC terms."""
+    coef = coef8.flatten()
     med = np.median(coef[1:])  # exclude DC term
     bits = coef > med
     val = 0
@@ -199,3 +202,14 @@ def phash64(px: np.ndarray) -> int:
     if val >= 1 << 63:
         val -= 1 << 64
     return val
+
+
+def phash64(px: np.ndarray) -> int:
+    """Classic 64-bit perceptual hash (public algorithm: resize 32x32 grayscale
+    -> 2-D DCT-II -> top-left 8x8 -> bit per coefficient > median of AC terms).
+
+    Signed int64 (two's complement) so it fits the ``phash:int64`` column from
+    BASELINE.json input_hint.
+    """
+    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    return phash_from_dct(dct32(gray_resize32(gray))[:8, :8])

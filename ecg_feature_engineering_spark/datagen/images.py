@@ -56,9 +56,10 @@ def entity_for(i: int, n_entities: int) -> str:
     return f"ent{(i * 1103515245 + 12345) % max(n_entities - 1, 1) + 1:08d}"
 
 
-def gen_image_row(seed: int, i: int, n_entities: int) -> dict:
+def gen_image_row(seed: int, i: int, n_entities: int,
+                  min_side: int = 8, max_side: int = 32) -> dict:
     rng = _rng(seed, i)
-    side = int(rng.integers(8, 33))  # 8-32 px square: decode cost stays bounded
+    side = int(rng.integers(min_side, max_side + 1))
     px = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
     fmt = _FMTS[i % len(_FMTS)]
     data = codecs.encode(px, fmt)
@@ -88,8 +89,10 @@ def gen_image_row(seed: int, i: int, n_entities: int) -> dict:
     }
 
 
-def gen_images_pdf(seed: int, lo: int, hi: int, n_entities: int) -> pd.DataFrame:
-    rows = [gen_image_row(seed, i, n_entities) for i in range(lo, hi)]
+def gen_images_pdf(seed: int, lo: int, hi: int, n_entities: int,
+                   min_side: int = 8, max_side: int = 32) -> pd.DataFrame:
+    rows = [gen_image_row(seed, i, n_entities, min_side, max_side)
+            for i in range(lo, hi)]
     pdf = pd.DataFrame(
         rows,
         columns=[
@@ -103,7 +106,10 @@ def gen_images_pdf(seed: int, lo: int, hi: int, n_entities: int) -> pd.DataFrame
     return pdf
 
 
-def images_df(spark, n: int = 1000, seed: int = 42, n_entities: int | None = None):
+def images_df(spark, n: int = 1000, seed: int = 42,
+              n_entities: int | None = None,
+              min_side: int = 8, max_side: int = 32,
+              parts: int | None = None):
     """Distributed images table (input_hint shape + catalog columns).
 
     ``select(*INPUT_HINT_COLS)`` for the pure input_hint view; the extra
@@ -117,9 +123,9 @@ def images_df(spark, n: int = 1000, seed: int = 42, n_entities: int | None = Non
             ids = b["id"].to_numpy()
             if len(ids):
                 yield gen_images_pdf(seed, int(ids.min()), int(ids.max()) + 1,
-                                     n_entities)
+                                     n_entities, min_side, max_side)
 
-    parts = max(1, min(n // 250 or 1, 256))
+    parts = parts or max(1, min(n // 250 or 1, 512))
     return (
         spark.range(0, n, 1, parts)
         .mapInPandas(gen, schema=IMAGES_SCHEMA + ", entity_id string, ts timestamp")

@@ -82,6 +82,113 @@ def decode_stats(df, id_col: str = "image_id", bytes_col: str = "bytes",
     return df.select(*keep, bytes_col, fmt_col).mapInPandas(run, schema=out_schema)
 
 
+PAYLOAD_FEATURES_FIELDS = (
+    DECODE_STATS_FIELDS
+    + ", phash_recomputed long, phash_hamming int"
+    + ", grad_x_mean double, grad_y_mean double, edge_density double"
+    + ", hist_entropy double, luma_p10 double, luma_p50 double"
+    + ", luma_p90 double, dct_dc double, dct_low_energy double"
+    + ", dct_mid_energy double, dct_high_energy double"
+)
+
+# zig-zag-ish DCT frequency bands over the 32x32 coefficient grid
+_DCT_IDX = np.add.outer(np.arange(32), np.arange(32))
+_DCT_LOW = (_DCT_IDX >= 1) & (_DCT_IDX <= 5)
+_DCT_MID = (_DCT_IDX > 5) & (_DCT_IDX <= 15)
+_DCT_HIGH = _DCT_IDX > 15
+
+
+def _extended_image_features(px64: np.ndarray, stored_phash: int
+                             ) -> tuple[np.ndarray, int, int]:
+    """Per-image feature block beyond the basic stats — the arity analog of
+    the reference's ~100-feature-per-record extraction (QRS_features.py
+    get_columns 98 cols; LONG_features ~102/lead). Derived quantities share
+    one grayscale/DCT computation (CSE in the kernel, fixing the reference's
+    recompute-per-family quirk, LONG_features.py:270-281)."""
+    luma = px64 @ _LUMA
+    # gradients + edge density on the luma plane
+    gx = np.abs(np.diff(luma, axis=1))
+    gy = np.abs(np.diff(luma, axis=0))
+    grad_x_mean = gx.mean() if gx.size else 0.0
+    grad_y_mean = gy.mean() if gy.size else 0.0
+    edge_density = (
+        float((gx > 16.0).mean()) if gx.size else 0.0)
+    # luma histogram entropy + histogram-derived percentiles (no sort)
+    hist = np.bincount(
+        np.clip(luma.astype(np.int64).ravel(), 0, 255), minlength=256)
+    p = hist / hist.sum()
+    nz = p > 0
+    hist_entropy = float(-(p[nz] * np.log(p[nz])).sum())
+    cdf = np.cumsum(hist)
+    n = cdf[-1]
+    luma_p10, luma_p50, luma_p90 = (
+        float(np.searchsorted(cdf, q * n)) for q in (0.1, 0.5, 0.9))
+    # shared 32x32 DCT: band energies + recomputed pHash from the same block
+    coef = codecs.dct32(codecs.gray_resize32(luma))
+    ph = codecs.phash_from_dct(coef[:8, :8])
+    c2 = coef * coef
+    dct_dc = float(coef[0, 0])
+    feats = np.array([
+        grad_x_mean, grad_y_mean, edge_density, hist_entropy,
+        luma_p10, luma_p50, luma_p90, dct_dc,
+        float(c2[_DCT_LOW].sum()), float(c2[_DCT_MID].sum()),
+        float(c2[_DCT_HIGH].sum()),
+    ])
+    ham = bin((int(stored_phash) ^ ph) & ((1 << 64) - 1)).count("1")
+    return feats, ph, ham
+
+
+def image_payload_features(df, id_col: str = "image_id",
+                           bytes_col: str = "bytes", fmt_col: str = "fmt",
+                           phash_col: str = "phash",
+                           keep: list[str] | None = None):
+    """One-pass payload kernel: decode + pixel stats + pHash recompute +
+    hamming vs the stored ``phash`` column — the U1+U2 fused analog (the
+    reference filters then peak-detects in one per-record pass,
+    HRV_features.py:98-105). Fusing keeps the payload decoded exactly once
+    per row; mapInPandas over scan partitions, no shuffle."""
+    keep = keep if keep is not None else [id_col]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (", ".join(f"{c} {types[c]}" for c in keep)
+                  + ", " + PAYLOAD_FEATURES_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            stats = np.empty((n, 7), dtype=np.float64)
+            ext = np.empty((n, 11), dtype=np.float64)
+            dims = np.empty((n, 2), dtype=np.int32)
+            ph = np.empty(n, dtype=np.int64)
+            ham = np.empty(n, dtype=np.int32)
+            data_col = b[bytes_col].to_numpy()
+            fmts = b[fmt_col].to_numpy()
+            stored = b[phash_col].to_numpy().astype(np.int64)
+            for i in range(n):
+                px = _decode_one(data_col[i], fmts[i]).astype(np.float64)
+                luma = px @ _LUMA
+                stats[i] = (
+                    px.mean(), px.std(), luma.mean(), luma.std(),
+                    px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(),
+                )
+                dims[i] = (px.shape[1], px.shape[0])
+                ext[i], ph[i], ham[i] = _extended_image_features(
+                    px, int(stored[i]))
+            out = b[keep].copy()
+            out[["px_mean", "px_std", "luma_mean", "luma_std",
+                 "r_mean", "g_mean", "b_mean"]] = stats
+            out["decoded_w"] = dims[:, 0]
+            out["decoded_h"] = dims[:, 1]
+            out["phash_recomputed"] = ph
+            out["phash_hamming"] = ham
+            out[["grad_x_mean", "grad_y_mean", "edge_density", "hist_entropy",
+                 "luma_p10", "luma_p50", "luma_p90", "dct_dc",
+                 "dct_low_energy", "dct_mid_energy", "dct_high_energy"]] = ext
+            yield out
+
+    return df.select(*dict.fromkeys([*keep, bytes_col, fmt_col, phash_col])) \
+        .mapInPandas(run, schema=out_schema)
+
+
 def phash_check(df, id_col: str = "image_id", bytes_col: str = "bytes",
                 fmt_col: str = "fmt", phash_col: str = "phash"):
     """Recompute the 64-bit pHash from the payload and compare with the stored

@@ -25,10 +25,11 @@ from ecg_feature_engineering_spark.operators.text import quality_features
 
 
 def image_features(images: DataFrame) -> DataFrame:
-    """Payload-side features: decoded-pixel stats (kernel) + pHash bit features
-    (JVM-side bit ops) + caption quality features (JVM-side)."""
+    """Payload-side features: decoded-pixel stats + recomputed pHash +
+    hamming-vs-stored (one fused Arrow kernel — payload decoded once), plus
+    pHash bit features and caption quality features (JVM-side)."""
     keep = ["image_id", "entity_id", "ts", "phash", "caption"]
-    decoded = kernels.decode_stats(images, keep=keep)
+    decoded = kernels.image_payload_features(images, keep=keep)
     feats = quality_features(
         decoded.withColumnRenamed("caption", "text"), "text"
     ).withColumnRenamed("text", "caption")
@@ -64,18 +65,13 @@ def event_features(events: DataFrame, n_entities: int,
     return ev.withColumn("session_event_n", F.count(F.lit(1)).over(run))
 
 
-def flagship(spark: SparkSession, sf_dir: str, n_images: int = 300,
-             seed: int = 42) -> DataFrame:
-    """The full E1-equivalent plan at small scale: synthesized image table
-    (input_hint shape) + the driver's events table -> per (entity, as_of_ts)
-    feature vectors."""
-    n_entities = max(n_images // 20, 2)
-    images = datagen.images_df(spark, n_images, seed, n_entities)
-    snapshots = datagen.snapshots_df(spark, n_entities, 12, seed)
-
+def feature_plan(images: DataFrame, snapshots: DataFrame,
+                 events: DataFrame, n_entities: int) -> DataFrame:
+    """The E1-equivalent lazy plan over already-loaded tables: image payload
+    kernel + event window features, both as-of joined to the snapshot grid.
+    ``images`` needs the input_hint columns plus (entity_id, ts)."""
     img_feats = image_features(images)
-    ev_feats = event_features(
-        spark.read.parquet(f"{sf_dir}/events.parquet"), n_entities)
+    ev_feats = event_features(events, n_entities)
 
     with_img = asof.asof_join(
         snapshots, img_feats, on="as_of_ts", right_on="ts", by="entity_id",
@@ -90,10 +86,22 @@ def flagship(spark: SparkSession, sf_dir: str, n_images: int = 300,
         # image payload features (latest image at or before as_of)
         "image_id", "img_ts", "px_mean", "px_std", "luma_mean", "luma_std",
         "r_mean", "g_mean", "b_mean", "decoded_w", "decoded_h",
-        "phash_bits", "phash_prefix",
+        "phash_recomputed", "phash_hamming", "phash_bits", "phash_prefix",
         "n_words", "mean_word_len", "punct_ratio", "stopword_ratio",
         # event stream features (latest event at or before as_of)
         "event_ts", "value", "value_diff1", "value_diff2",
         "roll_mean", "roll_min", "roll_max", "roll_std", "roll_n",
         "session_id", "session_event_n",
     )
+
+
+def flagship(spark: SparkSession, sf_dir: str, n_images: int = 300,
+             seed: int = 42) -> DataFrame:
+    """The full E1-equivalent plan at small scale: synthesized image table
+    (input_hint shape) + the driver's events table -> per (entity, as_of_ts)
+    feature vectors."""
+    n_entities = max(n_images // 20, 2)
+    images = datagen.images_df(spark, n_images, seed, n_entities)
+    snapshots = datagen.snapshots_df(spark, n_entities, 12, seed)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return feature_plan(images, snapshots, events, n_entities)

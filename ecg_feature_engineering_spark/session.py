@@ -62,6 +62,26 @@ def get_spark(
     return spark
 
 
+def warm_python_workers(spark: SparkSession, tasks_per_core: int = 2) -> None:
+    """Run a trivial Arrow-UDF job across every core so the Python worker
+    pool is forked and numpy/pandas are imported before a measured run —
+    otherwise the first measured stage pays ~1s of worker spin-up, which
+    skews scaling-efficiency comparisons between core counts."""
+    import pandas as pd  # noqa: F401
+
+    cores = spark.sparkContext.defaultParallelism
+
+    def touch(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        for b in batches:
+            yield b
+
+    n = cores * tasks_per_core
+    spark.range(0, n, 1, n).mapInPandas(touch, schema="id long") \
+        .write.format("noop").mode("overwrite").save()
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
