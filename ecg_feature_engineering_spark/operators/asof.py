@@ -91,6 +91,100 @@ def asof_join(
     return out
 
 
+def asof_join_many(
+    left: DataFrame,
+    rights: list[dict],
+    on: str = "ts",
+    by: str | list[str] = "entity_id",
+) -> DataFrame:
+    """Backward as-of join of SEVERAL right tables to one probe table in a
+    single union + window pass — one shuffle and one sort total, however
+    many right sides there are (vs one shuffle+sort per ``asof_join`` call).
+
+    ``rights``: each ``{"df": DataFrame, "on": ts_col (default ``on``),
+    "suffix": str, "match_ts": output name for the matched right ts or
+    None}``. Each right table's payload columns are filled independently:
+    ``last(col, ignorenulls=True)`` skips the other sources' rows because
+    their slots are null there, so per-column matches are per-source exact.
+
+    This is the flagship-plan shape (plans/flagship.py): image features and
+    event features both as-of joined to the snapshot grid — at 10^12 rows
+    the saved exchange+sort is a full extra pass over the biggest table in
+    the plan. Leak-free like ``asof_join``: right rows sort before probe
+    rows at equal ts, frames end at currentRow.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    left_cols = left.columns
+    ts_type = left.schema[on].dataType
+    used = set(left_cols)
+    specs = []  # (rdf, r_on, [(right_col, out_col)], match_ts_out)
+    for i, spec in enumerate(rights):
+        rdf, r_on = spec["df"], spec.get("on", on)
+        if r_on not in rdf.columns:
+            raise ValueError(
+                f"rights[{i}]: ts column {r_on!r} not in right columns "
+                f"{rdf.columns}; pass 'on' in the spec")
+        sfx = spec.get("suffix", f"_r{i}")
+        vcols = []
+        for c in rdf.columns:
+            if c in by or c == r_on:
+                continue
+            oc = c + sfx if c in used else c
+            used.add(oc)
+            vcols.append((c, oc))
+        mts = spec.get("match_ts")
+        if mts:
+            used.add(mts)
+        specs.append((rdf, r_on, vcols, mts))
+
+    # (out_col, owning_source_idx, right_col_or_None_for_match_ts, dtype)
+    fill = []
+    for i, (rdf, r_on, vcols, mts) in enumerate(specs):
+        for rc, oc in vcols:
+            fill.append((oc, i, rc, rdf.schema[rc].dataType))
+        if mts:
+            fill.append((mts, i, None, ts_type))
+
+    l_tagged = left.select(
+        *left_cols, F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(dt).alias(oc) for oc, _, _, dt in fill])
+    parts = [l_tagged]
+    for i, (rdf, r_on, vcols, mts) in enumerate(specs):
+        sel = []
+        for c in left_cols:
+            if c in by:
+                sel.append(F.col(c))
+            elif c == on:
+                sel.append(F.col(r_on).cast(ts_type).alias(c))
+            else:
+                sel.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
+        sel.append(F.lit(0).alias(_SIDE))
+        for oc, si, rc, dt in fill:
+            if si != i:
+                sel.append(F.lit(None).cast(dt).alias(oc))
+            elif rc is None:
+                sel.append(F.col(r_on).cast(ts_type).alias(oc))
+            else:
+                sel.append(F.col(rc).alias(oc))
+        parts.append(rdf.select(*sel).select(*l_tagged.columns))
+
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+
+    out_cols = [oc for oc, _, _, _ in fill]
+    w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    keep = [c for c in u.columns if c not in out_cols and c != _SIDE]
+    return (
+        u.select(*keep, F.col(_SIDE),
+                 *[F.last(c, ignorenulls=True).over(w).alias(c)
+                   for c in out_cols])
+        .where(F.col(_SIDE) == 1)
+        .drop(_SIDE)
+    )
+
+
 def _asof_union_window(left, right, on, by, right_on, direction, tolerance,
                        suffix) -> DataFrame:
     vcols = _right_value_cols(left, right, by, right_on, suffix)

@@ -73,15 +73,19 @@ def feature_plan(images: DataFrame, snapshots: DataFrame,
     img_feats = image_features(images)
     ev_feats = event_features(events, n_entities)
 
-    with_img = asof.asof_join(
-        snapshots, img_feats, on="as_of_ts", right_on="ts", by="entity_id",
-        suffix="_img", keep_match_ts="img_ts",
+    # both right sides in ONE union+window pass: one shuffle+sort on the
+    # entity key instead of two (asof.asof_join_many)
+    with_all = asof.asof_join_many(
+        snapshots,
+        [
+            {"df": img_feats, "on": "ts", "suffix": "_img",
+             "match_ts": "img_ts"},
+            {"df": ev_feats, "on": "ts", "suffix": "_ev",
+             "match_ts": "event_ts"},
+        ],
+        on="as_of_ts", by="entity_id",
     )
-    with_ev = asof.asof_join(
-        with_img, ev_feats, on="as_of_ts", right_on="ts", by="entity_id",
-        suffix="_ev", keep_match_ts="event_ts",
-    )
-    return with_ev.select(
+    return with_all.select(
         "entity_id", "as_of_ts",
         # image payload features (latest image at or before as_of)
         "image_id", "img_ts", "px_mean", "px_std", "luma_mean", "luma_std",

@@ -121,3 +121,36 @@ def test_exact_match_inclusive(spark):
     assert got["rval"].iloc[0] == 20.0
     got_f = _run(spark, left, right, direction="forward")
     assert got_f["rval"].iloc[0] == 20.0
+
+
+def test_asof_join_many_equals_chained(spark):
+    """One union+window pass over two right tables == two chained
+    asof_join calls (the flagship-plan fusion)."""
+    left, right1 = _mkdata(seed=31)
+    _, right2 = _mkdata(seed=37)
+    right2 = right2.rename(columns={"rval": "qval"})
+
+    ldf = spark.createDataFrame(left)
+    r1 = spark.createDataFrame(right1)
+    r2 = spark.createDataFrame(right2)
+
+    chained = asof.asof_join(
+        asof.asof_join(ldf, r1, on="ts", by="entity_id",
+                       keep_match_ts="ts1"),
+        r2, on="ts", by="entity_id", keep_match_ts="ts2")
+    fused = asof.asof_join_many(
+        ldf,
+        [{"df": r1, "suffix": "_a", "match_ts": "ts1"},
+         {"df": r2, "suffix": "_b", "match_ts": "ts2"}],
+        on="ts", by="entity_id")
+
+    key = ["entity_id", "ts", "lval"]
+    a = chained.toPandas().sort_values(key).reset_index(drop=True)
+    b = fused.toPandas().sort_values(key).reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    for c in ("rval", "qval"):
+        np.testing.assert_allclose(a[c].to_numpy(float), b[c].to_numpy(float),
+                                   rtol=0, atol=0, equal_nan=True)
+    for c in ("ts1", "ts2"):
+        assert a[c].fillna(pd.Timestamp(0)).equals(
+            b[c].fillna(pd.Timestamp(0))), c
