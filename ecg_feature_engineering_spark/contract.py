@@ -22,6 +22,7 @@ from ecg_feature_engineering_spark.functions import kernels
 from ecg_feature_engineering_spark.operators import (
     asof,
     dedup,
+    joins,
     similarity,
     splits,
     stats,
@@ -1012,3 +1013,361 @@ def q_flagship(spark, sf_dir):
     """E1 — the full as-of + windowed feature-vector pipeline (rows-only;
     allclose + leakage asserted in tests/test_flagship.py)."""
     return flagship_plan.flagship(spark, sf_dir, n_images=_KERNEL_N_IMAGES)
+
+
+# =====================================================================
+# Round-1 batch 2: CDF, full Variability, QRSYuxi, crossing widths,
+# scalar pre-pass, profiling, scale_input, replication, pivot,
+# time windows, interval join (A6/A9/A10/A15/A23/A24/A25/J6/R5/R6/U9/W5)
+# =====================================================================
+@register("cdf_density", """
+SELECT user_id,
+  round(sum(CASE WHEN value >= 100 AND value <= 400
+        THEN 60 - least(floor((value - 100) / 5.0), 59) ELSE 0 END)
+    / (count(value) * 60.0), 6) AS cdf_density
+FROM events GROUP BY user_id
+""")
+def q_cdf_density(spark, sf_dir):
+    """A6 — mean empirical CDF over a fixed 60-bin histogram
+    (QRS_features.py:325-333), closed-form single aggregate."""
+    ev = _events(spark, sf_dir)
+    return _round(stats.cdf_density(ev, "value", "user_id"), ["cdf_density"])
+
+
+@register("variability_full", """
+WITH t AS (
+  SELECT user_id, value, ts, event_id,
+    row_number() OVER w AS rn, count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+trimmed AS (SELECT user_id, value, ts, event_id FROM t
+            WHERE rn > 1 AND rn <= n - 1),
+d AS (
+  SELECT user_id, value, ts, event_id,
+    abs(value - lag(value) OVER w2) AS nn,
+    first_value(value) OVER wf AS fv,
+    last_value(value) OVER wf AS lv
+  FROM trimmed
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+p AS (
+  SELECT user_id, value, nn, fv, lv,
+    sqrt(nn * nn + pow(lead(nn) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id), 2)) AS pair
+  FROM d)
+SELECT user_id,
+  round(sqrt(avg(value * value) - avg(value) * avg(value)), 6) AS sdnn,
+  sum(CASE WHEN nn > 15.0 THEN 1 ELSE 0 END) AS nn50,
+  round(sum(CASE WHEN nn > 15.0 THEN 1 ELSE 0 END) / count(value), 6)
+    AS pnn50,
+  round(CASE WHEN count(nn) - 1 <> 0 AND avg(value) <> 0 THEN
+    (sum(pair) / (count(nn) - 1)) / avg(value) ELSE 0.0 END, 6) AS stepping,
+  round(CASE WHEN (-min(fv) - 2 * min(lv) + 2 * sum(value)) <> 0 THEN
+    sqrt(sum(nn * nn) / (2 * count(nn))
+         - pow(sum(nn), 2) / (2 * pow(count(nn), 2)))
+    / ((-min(fv) - 2 * min(lv) + 2 * sum(value)) / (2 * count(nn)))
+    ELSE 0.0 END, 6) AS dispersion
+FROM p GROUP BY user_id
+""")
+def q_variability_full(spark, sf_dir):
+    """A9 complete — SDNN/NN50/pNN50 + Poincare Stepping & Dispersion on
+    the endpoint-trimmed series (QRS_features.py:509-538)."""
+    ev = _events(spark, sf_dir)
+    trimmed = windows.trim_endpoints(ev, "user_id", _ORDER)
+    prepped = stats.with_variability_inputs(trimmed, "value", "user_id",
+                                            _ORDER)
+    out = prepped.groupBy("user_id").agg(
+        *stats.variability_full_aggs("value", "nn", "nn_pair",
+                                     "first_value", "last_value", 15.0))
+    return _round(out, ["sdnn", "pnn50", "stepping", "dispersion"])
+
+
+@register("qrs_yuxi", """
+WITH t AS (
+  SELECT user_id, value, ts, event_id,
+    row_number() OVER w AS rn, count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+trimmed AS (SELECT user_id, value, ts, event_id FROM t
+            WHERE rn > 1 AND rn <= n - 1),
+med AS (SELECT user_id, quantile_cont(value, 0.5) AS m FROM trimmed
+        GROUP BY user_id),
+x AS (
+  SELECT trimmed.user_id, value, m,
+    coalesce(lag(value) OVER w2 + value, value) AS fwd,
+    coalesce(value + lead(value) OVER w2, value) AS bwd
+  FROM trimmed JOIN med ON trimmed.user_id = med.user_id
+  WINDOW w2 AS (PARTITION BY trimmed.user_id ORDER BY ts, event_id))
+SELECT user_id, round(avg(CASE WHEN
+    abs(value - m) / m <= 0.05 OR abs(value - 2 * m) / (2 * m) <= 0.05
+    OR abs(fwd - 2 * m) / (2 * m) <= 0.05
+    OR abs(fwd - 3 * m) / (3 * m) <= 0.05
+    OR abs(bwd - 2 * m) / (2 * m) <= 0.05
+    OR abs(bwd - 3 * m) / (3 * m) <= 0.05
+  THEN 1 ELSE 0 END), 6) AS yuxi_ratio
+FROM x GROUP BY user_id
+""")
+def q_qrs_yuxi(spark, sf_dir):
+    """A10 — median-rhythm matched-interval ratio with 2-beat forward/
+    backward sums (QRS_features.py:463-506), on the trimmed series."""
+    ev = _events(spark, sf_dir)
+    trimmed = windows.trim_endpoints(ev, "user_id", _ORDER)
+    out = stats.qrs_yuxi(trimmed, "value", "user_id", _ORDER, tol=0.05)
+    return _round(out, ["yuxi_ratio"])
+
+
+@register("crossing_widths", """
+WITH th AS (SELECT user_id, avg(value) AS t FROM events GROUP BY user_id),
+base AS (
+  SELECT e.user_id, value, t,
+    row_number() OVER w - 1 AS i, lead(value) OVER w AS nxt
+  FROM events e JOIN th ON e.user_id = th.user_id
+  WINDOW w AS (PARTITION BY e.user_id ORDER BY ts, event_id)),
+cr AS (SELECT user_id, i FROM base WHERE (value - t) * (nxt - t) < 0),
+rk AS (SELECT user_id, i,
+         row_number() OVER (PARTITION BY user_id ORDER BY i) AS k,
+         lag(i) OVER (PARTITION BY user_id ORDER BY i) AS prev_i FROM cr),
+wd AS (SELECT user_id, i - coalesce(prev_i, 0) AS w FROM rk
+       WHERE k % 2 = 1),
+aw AS (SELECT user_id, count(*) AS nw, avg(w) AS mw FROM wd
+       GROUP BY user_id),
+ac AS (SELECT user_id, count(*) AS n_crossings FROM cr GROUP BY user_id)
+SELECT u.user_id,
+  coalesce(ac.n_crossings, 0) AS n_crossings,
+  round(CASE WHEN aw.nw > 1 THEN aw.mw ELSE 0.0 END, 6) AS mean_width
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN ac ON u.user_id = ac.user_id
+LEFT JOIN aw ON u.user_id = aw.user_id
+""")
+def q_crossing_widths(spark, sf_dir):
+    """A15/W6 — LongThresCrossing count + mean paired crossing width at the
+    entity-mean threshold (LONG_features.py:215-241); the reference's
+    pair_flag state machine as rank parity over crossings."""
+    ev = _events(spark, sf_dir)
+    out = stats.crossing_width_stats(ev, "value", "user_id", _ORDER)
+    return _round(
+        out.select("user_id", "n_crossings",
+                   F.col("mean_width").cast("double").alias("mean_width")),
+        ["mean_width"])
+
+
+@register("minmax_scalar_prepass", """
+SELECT min(n) AS min_events, max(n) AS max_events, count(*) AS n_entities
+FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+""")
+def q_minmax_prepass(spark, sf_dir):
+    """A25 — dataset-level scalar pre-pass whose result parameterizes the
+    main query (utils.py:43-56 min/max sample length)."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(F.min("n").alias("min_events"),
+                   F.max("n").alias("max_events"),
+                   F.count(F.lit(1)).alias("n_entities"))
+
+
+@register("dataset_profile", """
+SELECT lang, count(*) AS n_docs,
+  round(avg(n_chars), 6) AS avg_chars,
+  round(count(*) / (SELECT count(*) FROM documents)::DOUBLE, 6) AS share
+FROM documents GROUP BY lang
+""")
+def q_dataset_profile(spark, sf_dir):
+    """A23 — dataset profiling: per-class counts/shares + numeric summary
+    (statistics.py:18-38)."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    out = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.avg("n_chars").alias("avg_chars"))
+        .withColumn("share",
+                    F.col("n_docs") / F.sum("n_docs").over(
+                        Window.partitionBy()))
+    )
+    return _round(out, ["avg_chars", "share"])
+
+
+@register("scale_input", """
+WITH m AS (
+  SELECT user_id,
+    sum(CASE WHEN value <> 0 THEN value ELSE 0 END)
+      / sum(CASE WHEN value <> 0 THEN 1 ELSE 0 END) AS mean_nz
+  FROM events GROUP BY user_id)
+SELECT event_id, e.user_id,
+  round(CASE WHEN value <> mean_nz THEN
+    sign(value - mean_nz) * log10(abs(value - mean_nz) + 1) + mean_nz
+    ELSE value END, 6) AS scaled
+FROM events e JOIN m ON e.user_id = m.user_id
+""")
+def q_scale_input(spark, sf_dir):
+    """U9 — log-compress normalization around the non-zero mean
+    (preprocess-300hz.py:405-422), fully relational (two-pass broadcast)."""
+    ev = _events(spark, sf_dir)
+    m = ev.groupBy("user_id").agg(
+        (F.sum(F.when(F.col("value") != 0, F.col("value")).otherwise(0.0))
+         / F.sum(F.when(F.col("value") != 0, 1).otherwise(0)))
+        .alias("mean_nz"))
+    v, mu = F.col("value"), F.col("mean_nz")
+    scaled = F.when(
+        v != mu,
+        F.signum(v - mu) * F.log10(F.abs(v - mu) + 1) + mu).otherwise(v)
+    out = ev.join(F.broadcast(m), "user_id").select(
+        "event_id", "user_id", scaled.alias("scaled"))
+    return _round(out, ["scaled"])
+
+
+@register("balance_classes", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, unnest(generate_series(1,
+    CASE lang WHEN 'en' THEN 1 WHEN 'es' THEN 3 WHEN 'fr' THEN 4
+              WHEN 'de' THEN 2 ELSE 5 END)) AS c
+  FROM documents)
+""")
+def q_balance_classes(spark, sf_dir):
+    """R5 — deterministic class-balancing replication
+    (preprocess-300hz.py:315-341) via explode(sequence)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return splits.balance_classes(
+        d, "lang", {"en": 1, "es": 3, "fr": 4, "de": 2}, default=5)
+
+
+@register("pivot_one_hot", """
+SELECT doc_id,
+  CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS is_de,
+  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+  CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS is_es,
+  CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS is_fr,
+  CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS is_zh
+FROM documents
+""")
+def q_pivot_one_hot(spark, sf_dir):
+    """R6/P8 — label -> one-hot indicator columns via pivot with a pinned
+    value list (challenge2020/utils/data.py:35-38)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = splits.pivot_one_hot(d, "doc_id", "lang",
+                               ["de", "en", "es", "fr", "zh"])
+    return out.select("doc_id", *[F.col(c).cast("int").alias(c)
+                                  for c in out.columns if c != "doc_id"])
+
+
+@register("tumbling_time_windows", """
+SELECT user_id,
+  floor(epoch_us(ts) / 1000000.0 / 86400) * 86400 AS window_start_s,
+  count(*) AS n_events,
+  round(sum(value), 6) AS sum_value,
+  round(avg(value), 6) AS avg_value
+FROM events GROUP BY user_id, 2
+""")
+def q_tumbling_time(spark, sf_dir):
+    """W5 time-based — daily tumbling windows via F.window (the batch twin
+    of streaming window aggs)."""
+    ev = _events(spark, sf_dir)
+    out = windows.tumbling_time_aggs(ev, 86400.0, "value", "user_id", "ts")
+    return _round(out, ["sum_value", "avg_value"])
+
+
+@register("sliding_time_windows", """
+SELECT user_id, window_start_s, count(*) AS n_events,
+  round(avg(value), 6) AS avg_value
+FROM (
+  SELECT user_id, value,
+    (floor(epoch_us(ts) / 1000000.0 / 86400)
+     - unnest(generate_series(0, 1))) * 86400 AS window_start_s
+  FROM events)
+GROUP BY user_id, window_start_s
+""")
+def q_sliding_time(spark, sf_dir):
+    """W5 time-based — 2-day windows sliding by 1 day (SegSig_1d overlap
+    slicing on the time axis, HRV_features.py:32-58)."""
+    ev = _events(spark, sf_dir)
+    out = windows.sliding_time_aggs(ev, 2 * 86400.0, 86400.0, "value",
+                                    "user_id", "ts")
+    return _round(out, ["avg_value"])
+
+
+@register("anchor_window_aggs", """
+WITH anchors AS (
+  SELECT user_id, event_id AS anchor_id,
+    ts - INTERVAL 2 HOUR AS lo, ts + INTERVAL 2 HOUR AS hi
+  FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT a.user_id, a.anchor_id, e.ts, e.value,
+    row_number() OVER (PARTITION BY a.user_id, a.anchor_id
+                       ORDER BY e.value DESC, e.ts DESC) AS rmax,
+    row_number() OVER (PARTITION BY a.user_id, a.anchor_id
+                       ORDER BY e.value ASC, e.ts ASC) AS rmin
+  FROM anchors a JOIN events e
+    ON a.user_id = e.user_id AND e.ts BETWEEN a.lo AND a.hi)
+SELECT user_id, anchor_id,
+  count(*) AS n_events,
+  round(max(value), 6) AS max_value,
+  round(min(value), 6) AS min_value,
+  round(avg(value), 6) AS mean_value,
+  round(max(value) - min(value), 6) AS amplitude,
+  round(max(CASE WHEN rmax = 1 THEN epoch_us(ts) / 1000000.0 END), 6)
+    AS argmax_s,
+  round(max(CASE WHEN rmin = 1 THEN epoch_us(ts) / 1000000.0 END), 6)
+    AS argmin_s
+FROM j GROUP BY user_id, anchor_id
+""")
+def q_anchor_window_aggs(spark, sf_dir):
+    """J6/A24 relational — per-anchor interval aggregates + argmax/argmin
+    fiducials via the bucketized range join (operators/joins.py; the
+    reference's per-beat window loop, extract_SHORT.py:56-139)."""
+    ev = _events(spark, sf_dir)
+    anchors = (ev.where(F.col("event_type") == "click")
+               .select("user_id", F.col("event_id").alias("anchor_id"),
+                       (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("lo"),
+                       (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi")))
+    out = joins.anchor_window_aggs(
+        ev.select("user_id", "ts", "value"), anchors, by="user_id",
+        event_ts="ts", value="value", anchor_key="anchor_id",
+        bucket_seconds=4 * 3600.0)
+    out = out.select(
+        "user_id", "anchor_id", "n_events", "max_value", "min_value",
+        "mean_value", "amplitude",
+        F.col("argmax_ts").cast("timestamp").cast("double").alias("argmax_s"),
+        F.col("argmin_ts").cast("timestamp").cast("double").alias("argmin_s"))
+    return _round(out, ["max_value", "min_value", "mean_value", "amplitude",
+                        "argmax_s", "argmin_s"])
+
+
+@register("fft_features")  # richer kernel family — numpy oracle in tests/
+def q_fft_features(spark, sf_dir):
+    """A16-A19 fused — index-partitioned band powers + total power +
+    band Shannon entropy + SNR in one periodogram pass."""
+    ev = _events(spark, sf_dir)
+    out = kernels.fft_features_agg(ev, "value", "user_id", "ts", fs=1.0,
+                                   snr_cut_hz=0.1)
+    return _round(out, [c for c in out.columns if c != "user_id"])
+
+
+@register("wavelet_stats")  # pure-numpy DWT — numpy oracle in tests/
+def q_wavelet_stats(spark, sf_dir):
+    """A22/U5 — per-entity db7 7-level DWT band statistics (48 features);
+    min_len lowered to 64 so the events table produces non-zero rows."""
+    ev = _events(spark, sf_dir)
+    out = kernels.wavelet_stat_agg(ev, "value", "user_id", "ts",
+                                   n_moments=7, level=7, min_len=64)
+    return _round(out, [c for c in out.columns if c != "user_id"])
+
+
+@register("spectrogram")  # array-of-array output — shape checks in tests/
+def q_spectrogram(spark, sf_dir):
+    """U7 — per-entity log-spectrogram (nperseg=64) as
+    array<array<double>>."""
+    ev = _events(spark, sf_dir)
+    return kernels.spectrogram_agg(ev, "value", "user_id", "ts", fs=1.0,
+                                   nperseg=64, noverlap=0)
+
+
+@register("anchor_fiducials_kernel")  # U10 cogrouped kernel — tests assert
+def q_anchor_fiducials_kernel(spark, sf_dir):  # parity with the range join
+    """A24/U10 — the row-expanding per-anchor kernel (cogrouped
+    applyInPandas); relational twin: anchor_window_aggs."""
+    ev = _events(spark, sf_dir)
+    anchors = (ev.where(F.col("event_type") == "click")
+               .select("user_id", F.col("event_id").alias("anchor_id"), "ts"))
+    return kernels.anchor_fiducials_kernel(
+        ev.select("user_id", "ts", "value"), anchors, by="user_id",
+        event_ts="ts", value="value", anchor_key="anchor_id",
+        lo_s=-2 * 3600.0, hi_s=2 * 3600.0)

@@ -340,3 +340,150 @@ def fft_band_power_agg(df, value: str = "value", by: str = "entity_id",
               + ", ".join(f"band{i} double" for i in range(len(bands)))
               + ", total_power double")
     return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+
+
+def fft_features_agg(df, value: str = "value", by: str = "entity_id",
+                     order: str = "ts", fs: float = 300.0,
+                     partition_hz: list[float] | None = None,
+                     snr_cut_hz: float = 5.0):
+    """A16-A19 fused — the reference's LONG FFT family in one periodogram
+    pass (fixing its 3x recompute, LONG_features.py:270-281):
+    index-partitioned band powers (LongFFTBandPower :121-138 convention —
+    edges mapped to bin indices int(f*nfft/fs)), total power (:140-151),
+    Shannon entropy of the band distribution (:153-171), and SNR =
+    power(<cut)/power(>=cut) (:173-191)."""
+    partition_hz = partition_hz or [0, 1.5, 4, 8, 20, 100, fs / 2]
+    n_bands = len(partition_hz) - 1
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values(order)[value].to_numpy()
+        row = {by: pdf[by].iloc[0]}
+        if len(x) < 4:
+            for i in range(n_bands):
+                row[f"band{i}"] = 0.0
+            row.update(total_power=0.0, band_entropy=0.0, snr=0.0)
+        else:
+            freqs, pxx = periodogram_np(x, fs)
+            nfft = len(x)
+            idx = [int(h * nfft / fs) for h in partition_hz]
+            p = [float(pxx[idx[i]:idx[i + 1]].sum()) for i in range(n_bands)]
+            for i in range(n_bands):
+                row[f"band{i}"] = p[i]
+            row["total_power"] = float(pxx.sum())
+            tot = sum(p)
+            probs = [v / tot for v in p if v > 0] if tot > 0 else []
+            row["band_entropy"] = float(-sum(v * np.log(v) for v in probs))
+            sig = float(pxx[freqs < snr_cut_hz].sum())
+            noise = float(pxx[freqs >= snr_cut_hz].sum())
+            row["snr"] = sig / noise if noise > 0 else 0.0
+        return pd.DataFrame([row])
+
+    by_type = dict(zip(df.schema.names,
+                       (f.dataType.simpleString() for f in df.schema.fields)))[by]
+    schema = (f"{by} {by_type}, "
+              + ", ".join(f"band{i} double" for i in range(n_bands))
+              + ", total_power double, band_entropy double, snr double")
+    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+
+
+def wavelet_stat_agg(df, value: str = "value", by: str = "entity_id",
+                     order: str = "ts", n_moments: int = 7, level: int = 7,
+                     min_len: int = 64):
+    """A22/U5 — per-entity WaveletStat: db-N L-level DWT, per-band
+    {max,min,mean,median,std,energy/len} (LONG_features.py:243-262). The
+    reference's min_len is 1664 (db7/7 levels on >=1664 samples); shorter
+    series zero-fill. 48 feature columns at the default depth."""
+    from ecg_feature_engineering_spark.functions import wavelets
+
+    n_feats = (level + 1) * 6
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values(order)[value].to_numpy()
+        feats = wavelets.wavelet_stat_features(x, n_moments, level, min_len)
+        row = {by: pdf[by].iloc[0]}
+        for i, v in enumerate(feats):
+            row[f"wv{i}"] = float(v)
+        return pd.DataFrame([row])
+
+    by_type = dict(zip(df.schema.names,
+                       (f.dataType.simpleString() for f in df.schema.fields)))[by]
+    schema = (f"{by} {by_type}, "
+              + ", ".join(f"wv{i} double" for i in range(n_feats)))
+    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+
+
+def spectrogram_agg(df, value: str = "value", by: str = "entity_id",
+                    order: str = "ts", fs: float = 300.0,
+                    nperseg: int = 64, noverlap: int = 0):
+    """U7 — per-entity log-spectrogram (preprocess-300hz.py:254-269:
+    spectrogram(nperseg=64) then log). Boxcar window (scipy's default tukey
+    taper is approximated; flagged deviation — the engine contract is the
+    distributed shape: grouped kernel -> array<array<double>>)."""
+    hop = nperseg - noverlap
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values(order)[value].to_numpy()
+        segs = []
+        for s in range(0, max(len(x) - nperseg + 1, 0), hop):
+            _, pxx = periodogram_np(x[s:s + nperseg], fs)
+            segs.append(np.log(pxx + 1e-12).tolist())
+        return pd.DataFrame([{by: pdf[by].iloc[0], "n_segments": len(segs),
+                              "log_spec": segs}])
+
+    by_type = dict(zip(df.schema.names,
+                       (f.dataType.simpleString() for f in df.schema.fields)))[by]
+    schema = (f"{by} {by_type}, n_segments int, "
+              "log_spec array<array<double>>")
+    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+
+
+def anchor_fiducials_kernel(events, anchors, by: str = "entity_id",
+                            event_ts: str = "ts", value: str = "value",
+                            anchor_key: str = "anchor_id",
+                            lo_s: float = -3600.0, hi_s: float = 3600.0):
+    """A24/U10 — the row-expanding per-anchor fiducial kernel (per-beat
+    loop, extract_SHORT.py:56-139) as a cogrouped Arrow kernel: one entity
+    group in -> one row per anchor out, numpy argmax/argmin per window.
+    Relational twin: operators/joins.anchor_window_aggs (bucketized range
+    join) — tests assert both agree."""
+
+    def run(a_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        if a_pdf.empty:
+            return pd.DataFrame(columns=[by, anchor_key, "n_events",
+                                         "max_value", "min_value",
+                                         "mean_value", "amplitude"])
+        ev = e_pdf.sort_values(event_ts)
+        ets = ev[event_ts].to_numpy()
+        vals = ev[value].to_numpy()
+        for _, a in a_pdf.iterrows():
+            t0 = a[event_ts] + pd.Timedelta(seconds=lo_s)
+            t1 = a[event_ts] + pd.Timedelta(seconds=hi_s)
+            sel = vals[(ets >= t0.to_numpy()) & (ets <= t1.to_numpy())]
+            row = {by: a[by], anchor_key: a[anchor_key]}
+            if len(sel):
+                row.update(n_events=int(len(sel)),
+                           max_value=float(sel.max()),
+                           min_value=float(sel.min()),
+                           mean_value=float(sel.mean()),
+                           amplitude=float(sel.max() - sel.min()))
+            else:
+                row.update(n_events=0, max_value=None, min_value=None,
+                           mean_value=None, amplitude=None)
+            out.append(row)
+        return pd.DataFrame(out)
+
+    by_type = dict(zip(events.schema.names,
+                       (f.dataType.simpleString()
+                        for f in events.schema.fields)))[by]
+    key_type = dict(zip(anchors.schema.names,
+                        (f.dataType.simpleString()
+                         for f in anchors.schema.fields)))[anchor_key]
+    schema = (f"{by} {by_type}, {anchor_key} {key_type}, n_events long, "
+              "max_value double, min_value double, mean_value double, "
+              "amplitude double")
+    return (
+        anchors.groupBy(by)
+        .cogroup(events.select(by, event_ts, value).groupBy(by))
+        .applyInPandas(run, schema=schema)
+    )

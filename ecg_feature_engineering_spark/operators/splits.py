@@ -61,6 +61,45 @@ def one_hot(col: Column | str, values: list) -> Column:
     return F.array(*[F.when(c == F.lit(v), 1).otherwise(0) for v in values])
 
 
+def balance_classes(df: DataFrame, label_col: str,
+                    factors: dict[str, int],
+                    default: int = 1) -> DataFrame:
+    """R5 — class-balancing replication (preprocess-300hz.py:315-341):
+    each row is replicated ``factors[label]`` times (default 1). The
+    reference draws a random aug_fact per class; here the factor ladder is
+    explicit and deterministic (reproducible pipelines — the seeded-random
+    variant is one ``rand(seed)`` term away). ``explode(sequence)`` keeps it
+    fully distributed — no driver loop, output fan-out is the only cost."""
+    lab = F.col(label_col)
+    fac = None
+    for k, v in factors.items():
+        cond = lab == F.lit(k)
+        fac = F.when(cond, F.lit(v)) if fac is None else fac.when(cond, v)
+    fac = F.lit(default) if fac is None else fac.otherwise(F.lit(default))
+    return (
+        df.withColumn("__copy", F.explode(F.sequence(F.lit(1), fac)))
+        .drop("__copy")
+    )
+
+
+def pivot_one_hot(df: DataFrame, id_col: str, label_col: str,
+                  values: list) -> DataFrame:
+    """R6 — label -> one row per id with 0/1 indicator columns
+    (challenge2020/utils/data.py:35-38) via groupBy().pivot() with the value
+    list pinned (pinning avoids the extra distinct-scan job and keeps the
+    output schema stable for 10^12-row inputs)."""
+    out = (
+        df.groupBy(id_col)
+        .pivot(label_col, values)
+        .agg(F.max(F.lit(1)))
+    )
+    return out.select(
+        id_col,
+        *[F.coalesce(F.col(str(v)), F.lit(0)).alias(f"is_{v}")
+          for v in values],
+    )
+
+
 def blacklist_filter(df: DataFrame, id_col: str, bad_ids: list) -> DataFrame:
     """P3 — drop corrupt records (preprocess-300hz.py:93-98). isin for small
     lists (constant-folded); left-anti join for large blacklists."""

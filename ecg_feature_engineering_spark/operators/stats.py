@@ -171,6 +171,160 @@ def variability_aggs(value: str = "value", diff: str = "value_diff1",
     ]
 
 
+def cdf_density(df: DataFrame, value: str, by="entity_id",
+                lo: float = 100.0, hi: float = 400.0, n_bins: int = 60,
+                out: str = "cdf_density") -> DataFrame:
+    """A6 — mean of the empirical CDF over a fixed-range histogram
+    (QRS_features.py:325-333): hist over [lo,hi] in n_bins, cdf =
+    cumsum(hist)/len(ts) (len includes out-of-range rows!), density =
+    sum(cdf)/n_bins.
+
+    Closed form — each in-range row at bucket b contributes to every bin
+    >= b, so sum(cdf) = sum_rows(n_bins - b); one aggregate, no histogram
+    materialization, no second shuffle."""
+    by = [by] if isinstance(by, str) else list(by)
+    v = F.col(value)
+    w = (hi - lo) / n_bins
+    bucket = F.least(F.floor((v - F.lit(lo)) / F.lit(w)),
+                     F.lit(n_bins - 1))
+    contrib = F.when((v >= lo) & (v <= hi), F.lit(n_bins) - bucket) \
+        .otherwise(F.lit(0))
+    return df.groupBy(*by).agg(
+        (F.sum(contrib) / (F.count(v) * F.lit(n_bins))).alias(out))
+
+
+def variability_full_aggs(value: str = "value", diff_abs: str = "nn",
+                          pair: str = "nn_pair",
+                          first_val: str = "first_value",
+                          last_val: str = "last_value",
+                          nn_threshold: float = 15.0) -> list[Column]:
+    """A9 complete — Variability with Stepping and Dispersion
+    (QRS_features.py:509-538; Poincare-plot features). Input rows need the
+    precomputed columns (windows on the *trimmed* series):
+      diff_abs  = |x - lag(x)|                    (NN)
+      pair      = sqrt(NN^2 + lead(NN)^2)         (null on last NN)
+      first_val / last_val = first/last x of the entity (window first/last)
+    Stepping = (sum(pair)/(len(NN)-1)) / mean(ts);
+    Dispersion = sqrt(sum(NN^2)/(2 lenNN) - sum(NN)^2/(2 lenNN^2))
+                 / ((-ts[0] - 2 ts[-1] + 2 sum(ts)) / (2 lenNN)).
+    """
+    v, nn, pr = F.col(value), F.col(diff_abs), F.col(pair)
+    n_nn = F.count(nn)
+    sum_nn = F.sum(nn)
+    sum_nn2 = F.sum(nn * nn)
+    stepping = safe_div(
+        safe_div(F.sum(pr), (n_nn - 1)), F.avg(v))
+    disp_num = F.sqrt(sum_nn2 / (2 * n_nn) - (sum_nn * sum_nn)
+                      / (2 * n_nn * n_nn))
+    # first_val/last_val are constant within the group (window-filled), so
+    # min() is a deterministic way to pick them up in the aggregate
+    disp_den = (-F.min(first_val) - 2 * F.min(last_val)
+                + 2 * F.sum(v)) / (2 * n_nn)
+    return [
+        std_pop(v).alias("sdnn"),
+        F.sum(F.when(nn > nn_threshold, 1).otherwise(0)).alias("nn50"),
+        safe_div(F.sum(F.when(nn > nn_threshold, 1).otherwise(0)),
+                 F.count(v)).alias("pnn50"),
+        stepping.alias("stepping"),
+        safe_div(disp_num, disp_den).alias("dispersion"),
+    ]
+
+
+def with_variability_inputs(df: DataFrame, value: str = "value",
+                            by="entity_id", order="ts") -> DataFrame:
+    """Window pre-pass for ``variability_full_aggs`` (one entity
+    sort shared by all four derived columns)."""
+    w = entity_window(by, order)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nn = F.abs(F.col(value) - F.lag(value).over(w))
+    df = df.withColumn("nn", nn)
+    nn_lead = F.lead("nn").over(w)
+    return df.withColumns({
+        "nn_pair": F.sqrt(F.col("nn") * F.col("nn") + nn_lead * nn_lead),
+        "first_value": F.first(value).over(full),
+        "last_value": F.last(value).over(full),
+    })
+
+
+def qrs_yuxi(df: DataFrame, value: str = "value", by="entity_id",
+             order="ts", tol: float = 0.05,
+             out: str = "yuxi_ratio") -> DataFrame:
+    """A10 — fraction of intervals "matched" to the median rhythm
+    (QRS_features.py:463-506): x matches if within tol of med or 2*med;
+    else its forward sum (lag(x)+x, or x at the first row) or backward sum
+    (x+lead(x), or x at the last row) matches 2*med or 3*med.
+    Input must already be endpoint-trimmed if reference parity with
+    ts[1:-1] is wanted (windows.trim_endpoints)."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = entity_window(by, order)
+    med = df.groupBy(*by).agg(pctl(value, 50).alias("__med"))
+    v = F.col(value)
+    m = F.col("__med")
+
+    def near(x, mult):
+        return F.abs(x - mult * m) / (mult * m) <= tol
+
+    fwd = F.coalesce(F.lag(value).over(w) + v, v)
+    bwd = F.coalesce(v + F.lead(value).over(w), v)
+    matched = (
+        near(v, 1) | near(v, 2)
+        | near(fwd, 2) | near(fwd, 3) | near(bwd, 2) | near(bwd, 3)
+    )
+    return (
+        df.join(F.broadcast(med), on=by)
+        .select(*by, matched.cast("int").alias("__m"))
+        .groupBy(*by).agg(F.avg("__m").alias(out))
+    )
+
+
+def crossing_width_stats(df: DataFrame, value: str, by="entity_id",
+                         order="ts",
+                         threshold: Column | float | None = None
+                         ) -> DataFrame:
+    """A15/W6 — LongThresCrossing (LONG_features.py:215-241): crossing
+    count at a threshold (default: the entity's mean — two-pass broadcast)
+    plus the mean paired crossing width. The reference pairs crossings
+    alternately (pair_flag state machine): widths are measured at odd
+    crossings from the previous even crossing's index (first width from
+    index 0). Mean width is 0 unless there are >= 2 widths.
+
+    Stateful scan -> relational: rank crossings per entity; odd ranks emit
+    ``idx - lag(idx)`` (first: idx - 0)."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = entity_window(by, order)
+    if threshold is None:
+        th_df = df.groupBy(*by).agg(F.avg(value).alias("__th"))
+        df = df.join(F.broadcast(th_df), on=by)
+        th = F.col("__th")
+    else:
+        th = F.lit(threshold) if isinstance(threshold, (int, float)) \
+            else threshold
+    i = F.row_number().over(w) - 1
+    nxt = F.lead(value).over(w)
+    is_cross = ((F.col(value) - th) * (nxt - th) < 0).cast("int")
+    flagged = df.select(*by, i.alias("__i"),
+                        F.coalesce(is_cross, F.lit(0)).alias("__c"))
+    crossings = flagged.where(F.col("__c") == 1)
+    cw = Window.partitionBy(*by).orderBy("__i")
+    ranked = crossings.select(
+        *by, "__i",
+        F.row_number().over(cw).alias("__k"),
+        F.lag("__i").over(cw).alias("__prev_i"),
+    )
+    widths = ranked.where(F.col("__k") % 2 == 1).select(
+        *by, (F.col("__i") - F.coalesce("__prev_i", F.lit(0)))
+        .alias("__w"))
+    agg_w = widths.groupBy(*by).agg(
+        F.count("__w").alias("__nw"), F.avg("__w").alias("__mw"))
+    agg_c = flagged.groupBy(*by).agg(F.sum("__c").alias("n_crossings"))
+    return (
+        agg_c.join(agg_w, on=by, how="left")
+        .select(*by, "n_crossings",
+                F.when(F.col("__nw") > 1, F.col("__mw"))
+                .otherwise(F.lit(0.0)).alias("mean_width"))
+    )
+
+
 def first_match_bin(value, thresholds: list[float]) -> Column:
     """A5 — the reference's first-match descending-threshold binning
     (QRS_features.py:273-277): bucket j is the first threshold (descending)

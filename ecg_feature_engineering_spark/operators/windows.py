@@ -149,6 +149,45 @@ def trim_endpoints(df: DataFrame, by="entity_id", order="ts",
     )
 
 
+def tumbling_time_aggs(df: DataFrame, length_seconds: float,
+                       value: str = "value", by="entity_id",
+                       order: str = "ts") -> DataFrame:
+    """W5 time-based — fixed tumbling windows via ``F.window`` (the batch
+    twin of the streaming groupBy(window(...)); window start/end exposed as
+    epoch seconds for engine-portable output)."""
+    by = [by] if isinstance(by, str) else list(by)
+    win = F.window(F.col(order).cast("timestamp"), f"{int(length_seconds)} seconds")
+    return (
+        df.groupBy(*by, win.alias("__w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(value).alias("sum_value"),
+             F.avg(value).alias("avg_value"))
+        .select(*by,
+                F.col("__w.start").cast("double").alias("window_start_s"),
+                "n_events", "sum_value", "avg_value")
+    )
+
+
+def sliding_time_aggs(df: DataFrame, length_seconds: float,
+                      slide_seconds: float, value: str = "value",
+                      by="entity_id", order: str = "ts") -> DataFrame:
+    """W5 time-based — overlapping sliding windows via ``F.window(ts, len,
+    slide)`` (HRV_features.py:32-58 SegSig_1d semantics on the time axis).
+    Rows fan out to length/slide windows — explicit, bounded cost."""
+    by = [by] if isinstance(by, str) else list(by)
+    win = F.window(F.col(order).cast("timestamp"),
+                   f"{int(length_seconds)} seconds",
+                   f"{int(slide_seconds)} seconds")
+    return (
+        df.groupBy(*by, win.alias("__w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.avg(value).alias("avg_value"))
+        .select(*by,
+                F.col("__w.start").cast("double").alias("window_start_s"),
+                "n_events", "avg_value")
+    )
+
+
 def sliding_segments(
     df: DataFrame, seg_rows: int, stride_rows: int,
     by="entity_id", order="ts", out: str = "segment_id",

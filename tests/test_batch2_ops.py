@@ -1,0 +1,217 @@
+"""Batch-2 operators vs numpy/pandas oracles: CDF density, full
+Variability, QRSYuxi, crossing widths, interval join, wavelets, fused FFT,
+spectrogram, fiducial kernel parity, balance/pivot."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ecg_feature_engineering_spark.functions import kernels, wavelets
+from ecg_feature_engineering_spark.operators import joins, splits, stats, windows
+
+ORDER = ["ts", "event_id"]
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+
+
+def test_cdf_density_oracle(spark, sf_dir, events_pdf):
+    got = stats.cdf_density(_events(spark, sf_dir), "value", "user_id") \
+        .toPandas().set_index("user_id")["cdf_density"]
+    for uid, grp in events_pdf.groupby("user_id"):
+        x = grp["value"].to_numpy()
+        hist, _ = np.histogram(x, range=(100, 400), bins=60)
+        want = np.sum(np.cumsum(hist) / len(x)) / 60
+        assert np.isclose(got[uid], want), uid
+
+
+def test_variability_full_oracle(spark, sf_dir, events_pdf):
+    ev = _events(spark, sf_dir)
+    trimmed = windows.trim_endpoints(ev, "user_id", ORDER)
+    prepped = stats.with_variability_inputs(trimmed, "value", "user_id",
+                                            ORDER)
+    got = prepped.groupBy("user_id").agg(
+        *stats.variability_full_aggs("value", "nn", "nn_pair",
+                                     "first_value", "last_value", 15.0)) \
+        .toPandas().set_index("user_id")
+    for uid, grp in events_pdf.groupby("user_id"):
+        ts = grp.sort_values(["ts", "event_id"])["value"].to_numpy()[1:-1]
+        NN = np.abs(np.diff(ts))
+        want_step = (sum(np.sqrt(NN[x] ** 2 + NN[x + 1] ** 2)
+                         for x in range(len(NN) - 1)) / (len(NN) - 1)) \
+            / ts.mean()
+        want_disp = np.sqrt(
+            (NN ** 2).sum() / (2 * len(NN)) - NN.sum() ** 2 / (2 * len(NN) ** 2)
+        ) / ((-ts[0] - 2 * ts[-1] + 2 * ts.sum()) / (2 * len(NN)))
+        row = got.loc[uid]
+        assert np.isclose(row["sdnn"], ts.std())
+        assert row["nn50"] == (NN > 15).sum()
+        assert np.isclose(row["pnn50"], (NN > 15).sum() / len(ts))
+        assert np.isclose(row["stepping"], want_step), uid
+        assert np.isclose(row["dispersion"], want_disp), uid
+
+
+def test_qrs_yuxi_oracle(spark, sf_dir, events_pdf):
+    """Literal reimplementation of the reference loop as the oracle."""
+    ev = _events(spark, sf_dir)
+    trimmed = windows.trim_endpoints(ev, "user_id", ORDER)
+    got = stats.qrs_yuxi(trimmed, "value", "user_id", ORDER).toPandas() \
+        .set_index("user_id")["yuxi_ratio"]
+    tol = 0.05
+    for uid, grp in events_pdf.groupby("user_id"):
+        ts = grp.sort_values(["ts", "event_id"])["value"].to_numpy()[1:-1]
+        med = np.median(ts)
+        matched = [False] * len(ts)
+        for i in range(len(ts)):
+            if abs(ts[i] - med) / med <= tol or \
+               abs(ts[i] - 2 * med) / (2 * med) <= tol:
+                matched[i] = True
+        for i in range(len(ts)):
+            if not matched[i]:
+                fwd = ts[i] if i == 0 else ts[i - 1] + ts[i]
+                bwd = ts[i] if i == len(ts) - 1 else ts[i] + ts[i + 1]
+                if (abs(fwd - 2 * med) / (2 * med) <= tol
+                        or abs(fwd - 3 * med) / (3 * med) <= tol
+                        or abs(bwd - 2 * med) / (2 * med) <= tol
+                        or abs(bwd - 3 * med) / (3 * med) <= tol):
+                    matched[i] = True
+        assert np.isclose(got[uid], sum(matched) / len(matched)), uid
+
+
+def test_crossing_widths_oracle(spark, sf_dir, events_pdf):
+    """Literal pair_flag state machine as the oracle."""
+    got = stats.crossing_width_stats(_events(spark, sf_dir), "value",
+                                     "user_id", ORDER).toPandas() \
+        .set_index("user_id")
+    for uid, grp in events_pdf.groupby("user_id"):
+        x = grp.sort_values(["ts", "event_id"])["value"].to_numpy()
+        th = x.mean()
+        cnt, pair_flag, pre_loc, width = 0, 1, 0, []
+        for i in range(len(x) - 1):
+            if (x[i] - th) * (x[i + 1] - th) < 0:
+                cnt += 1
+                if pair_flag == 1:
+                    width.append(i - pre_loc)
+                    pair_flag = 0
+                else:
+                    pair_flag = 1
+                    pre_loc = i
+        want_w = float(np.mean(width)) if len(width) > 1 else 0.0
+        assert got.loc[uid, "n_crossings"] == cnt, uid
+        assert np.isclose(got.loc[uid, "mean_width"], want_w), uid
+
+
+def test_interval_join_matches_naive(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    anchors = (_events(spark, sf_dir)
+               .where(F.col("event_type") == "purchase")
+               .select("user_id", F.col("event_id").alias("anchor_id"),
+                       (F.col("ts") - F.expr("INTERVAL 3 HOURS")).alias("lo"),
+                       (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("hi")))
+    bucketed = joins.interval_join(ev, anchors, by="user_id",
+                                   bucket_seconds=3600.0)
+    naive = anchors.alias("a").join(
+        ev.alias("e"),
+        (F.col("a.user_id") == F.col("e.user_id"))
+        & F.col("e.ts").between(F.col("a.lo"), F.col("a.hi")))
+    assert bucketed.count() == naive.count()
+
+
+def test_fiducial_kernel_matches_range_join(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    base = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    anchors_k = base.select("user_id", F.col("event_id").alias("anchor_id"),
+                            "ts")
+    anchors_r = base.select(
+        "user_id", F.col("event_id").alias("anchor_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"))
+    a = kernels.anchor_fiducials_kernel(
+        ev, anchors_k, by="user_id", anchor_key="anchor_id",
+        lo_s=-7200.0, hi_s=7200.0).toPandas() \
+        .sort_values("anchor_id").reset_index(drop=True)
+    b = joins.anchor_window_aggs(
+        ev, anchors_r, by="user_id", anchor_key="anchor_id",
+        bucket_seconds=4 * 3600.0).toPandas() \
+        .sort_values("anchor_id").reset_index(drop=True)
+    assert list(a["anchor_id"]) == list(b["anchor_id"])
+    for c in ("n_events", "max_value", "min_value", "mean_value",
+              "amplitude"):
+        np.testing.assert_allclose(a[c].astype(float), b[c].astype(float),
+                                   rtol=1e-12, err_msg=c)
+
+
+def test_wavelet_generator_published_values():
+    # published db2/db3 scaling filters (public constants)
+    db2 = [0.48296291314469025, 0.836516303737469,
+           0.22414386804185735, -0.12940952255092145]
+    np.testing.assert_allclose(wavelets.daubechies_scaling_filter(2), db2,
+                               atol=1e-10)
+    db3 = [0.3326705529509569, 0.8068915093133388, 0.4598775021193313,
+           -0.13501102001039084, -0.08544127388224149, 0.035226291882100656]
+    np.testing.assert_allclose(wavelets.daubechies_scaling_filter(3), db3,
+                               atol=1e-10)
+
+
+def test_wavelet_energy_and_shape():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=2048)
+    bands = wavelets.wavedec(x, 7, 7)
+    assert len(bands) == 8
+    e = sum((c * c).sum() for c in bands)
+    # orthogonal filter bank: energy preserved up to boundary extension
+    assert abs(e / (x * x).sum() - 1) < 0.05
+    feats = wavelets.wavelet_stat_features(x, 7, 7, min_len=64)
+    assert feats.shape == (48,)
+    assert wavelets.wavelet_stat_features(x[:50], 7, 7).sum() == 0.0
+
+
+def test_fft_features_agg_oracle(spark, sf_dir, events_pdf):
+    got = kernels.fft_features_agg(_events(spark, sf_dir), "value",
+                                   "user_id", "ts", fs=1.0,
+                                   snr_cut_hz=0.1).toPandas() \
+        .set_index("user_id")
+    part = [0, 1.5, 4, 8, 20, 100, 0.5]
+    for uid, grp in list(events_pdf.groupby("user_id"))[:4]:
+        x = grp.sort_values("ts")["value"].to_numpy()
+        freqs, pxx = kernels.periodogram_np(x, 1.0)
+        idx = [int(h * len(x) / 1.0) for h in part]
+        p = [pxx[idx[i]:idx[i + 1]].sum() for i in range(6)]
+        row = got.loc[uid]
+        for i in range(6):
+            assert np.isclose(row[f"band{i}"], round(p[i], 6), atol=1e-6)
+        tot = sum(p)
+        probs = [v / tot for v in p if v > 0]
+        assert np.isclose(row["band_entropy"],
+                          -sum(v * np.log(v) for v in probs), atol=1e-5)
+        sig = pxx[freqs < 0.1].sum()
+        noise = pxx[freqs >= 0.1].sum()
+        assert np.isclose(row["snr"], sig / noise, atol=1e-5)
+
+
+def test_spectrogram_shape(spark, sf_dir, events_pdf):
+    got = kernels.spectrogram_agg(_events(spark, sf_dir), "value",
+                                  "user_id", "ts", fs=1.0, nperseg=64) \
+        .toPandas().set_index("user_id")
+    for uid, grp in list(events_pdf.groupby("user_id"))[:3]:
+        n = len(grp)
+        want_segs = max((n - 64) // 64 + 1, 0) if n >= 64 else 0
+        assert got.loc[uid, "n_segments"] == want_segs
+        if want_segs:
+            spec = got.loc[uid, "log_spec"]
+            assert len(spec) == want_segs and len(spec[0]) == 33
+
+
+def test_balance_and_pivot(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": [1, 2, 3], "lab": ["a", "b", "c"]}))
+    out = splits.balance_classes(df, "lab", {"a": 2, "b": 3}).toPandas()
+    assert out["lab"].value_counts().to_dict() == {"b": 3, "a": 2, "c": 1}
+    oh = splits.pivot_one_hot(df, "id", "lab", ["a", "b", "c"]).toPandas() \
+        .set_index("id").sort_index()
+    assert oh.loc[1].tolist() == [1, 0, 0]
+    assert oh.loc[3].tolist() == [0, 0, 1]
