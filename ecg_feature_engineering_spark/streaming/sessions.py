@@ -49,6 +49,47 @@ def streaming_sliding_aggs(events: DataFrame, length: str = "10 minutes",
     )
 
 
+def streaming_running_stats(events: DataFrame, by: str = "user_id",
+                            value: str = "value") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (north rule
+    §2.10): per-entity running (count, sum, mean) carried across
+    micro-batches in explicit GroupState — the incremental twin of a
+    grouped aggregate, for update-mode sinks. The reference's only "state"
+    is files-on-disk between stages (SURVEY.md S9); this is the
+    streaming-native replacement."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{by} long, n long, total double, mean double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{by: key[0], "n": n, "total": total,
+              "mean": total / n if n else 0.0}])
+
+    return events.groupBy(by).applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
+def run_stateful_stream(spark, parquet_dir: str, schema, transform,
+                        query_name: str = "stateful_out") -> DataFrame:
+    """Drive a stateful (update-mode) streaming query over a batch parquet
+    directory to completion via the memory sink."""
+    src = spark.readStream.schema(schema).parquet(parquet_dir)
+    q = (transform(src).writeStream.outputMode("update")
+         .format("memory").queryName(query_name).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_batch_as_stream(spark, parquet_dir: str, schema, transform,
                         query_name: str = "stream_out") -> DataFrame:
     """Drive a batch parquet directory through a streaming query to completion

@@ -132,3 +132,83 @@ def test_datagen_schema_matches_input_hint(spark):
     assert types == {"image_id": "string", "bytes": "binary", "w": "int",
                      "h": "int", "fmt": "string", "caption": "string",
                      "phash": "bigint"}
+
+
+def test_io_csv_roundtrip_and_binary_ingest(spark, sf_dir, tmp_path):
+    from ecg_feature_engineering_spark.sources import io
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars")
+    p = str(tmp_path / "docs_csv")
+    io.write_csv(d, p, single_file=True)
+    back = io.read_csv(spark, p, "doc_id long, lang string, n_chars long")
+    a = d.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # binaryFile ingest -> payload skeleton
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "img001.png").write_bytes(b"\x89PNGfake")
+    (raw / "img002.bmp").write_bytes(b"BMfake")
+    files = io.read_binary_files(spark, str(raw), glob="*.{png,bmp}")
+    tbl = io.binary_files_to_payload_table(files).toPandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert list(tbl["image_id"]) == ["img001", "img002"]
+    assert list(tbl["fmt"]) == ["png", "bmp"]
+    assert bytes(tbl["bytes"].iloc[0]) == b"\x89PNGfake"
+
+
+def test_entity_bucket_stable(spark, sf_dir):
+    from ecg_feature_engineering_spark.sources import io
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = io.with_entity_bucket(d, "doc_id", 16).select("doc_id", "entity_bucket")
+    b = io.with_entity_bucket(d.repartition(7), "doc_id", 16) \
+        .select("doc_id", "entity_bucket")
+    assert a.toPandas().set_index("doc_id")["entity_bucket"].to_dict() == \
+        b.toPandas().set_index("doc_id")["entity_bucket"].to_dict()
+
+
+def test_streaming_stateful_running_stats(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running stats: final state equals the batch
+    grouped aggregate."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = str(tmp_path / "ev_state")
+    ev.write.parquet(stream_dir)
+    out = streaming.run_stateful_stream(
+        spark, stream_dir, ev.schema,
+        lambda src: streaming.streaming_running_stats(src, "user_id",
+                                                      "value"),
+        query_name="t_running")
+    # last emitted row per user = final running state
+    got = (out.toPandas().groupby("user_id").last())
+    want = (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .toPandas().set_index("user_id"))
+    assert got["n"].to_dict() == want["n"].to_dict()
+    for uid in want.index:
+        assert abs(got.loc[uid, "total"] - want.loc[uid, "total"]) < 1e-6
+
+
+def test_streaming_sliding_aggs(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = str(tmp_path / "ev_slide")
+    ev.write.parquet(stream_dir)
+    out = streaming.run_batch_as_stream(
+        spark, stream_dir, ev.schema,
+        lambda src: streaming.streaming_sliding_aggs(
+            src, length="2 days", slide="1 day", watermark="0 seconds"),
+        query_name="t_slide")
+    got = out.toPandas()
+    batch = windows.sliding_time_aggs(ev, 2 * 86400.0, 86400.0, "value",
+                                      "user_id", "ts").toPandas()
+    # append-mode drops windows not closed by the final watermark;
+    # everything emitted must match the batch result exactly
+    assert len(got) > 0
+    merged = got.assign(
+        window_start_s=got["win"].map(lambda w: w["start"].timestamp())
+    ).merge(batch, on=["user_id", "window_start_s"], how="left",
+            suffixes=("_s", "_b"))
+    assert merged["n_events_b"].notna().all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
