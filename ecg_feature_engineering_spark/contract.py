@@ -1371,3 +1371,84 @@ def q_anchor_fiducials_kernel(spark, sf_dir):  # parity with the range join
         ev.select("user_id", "ts", "value"), anchors, by="user_id",
         event_ts="ts", value="value", anchor_key="anchor_id",
         lo_s=-2 * 3600.0, hi_s=2 * 3600.0)
+
+
+# =====================================================================
+# Round-1 batch 3: rollup, distinct thresholds, rdensity, pHash near-dup
+# =====================================================================
+@register("rollup_returns", """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_rollup(spark, sf_dir):
+    """Grouping-set rollup (SURVEY §2.4 note: free Spark built-in beyond the
+    reference's flat groupings)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "n", "sum_qty")
+    )
+    return out
+
+
+@register("distinct_thresholds_desc", """
+SELECT DISTINCT l_discount FROM lineitem ORDER BY l_discount DESC
+""")
+def q_distinct_desc(spark, sf_dir):
+    """O4 — descending distinct threshold values (xgboost_clf.py:128-132
+    np.unique descending)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_discount").distinct().orderBy(F.col("l_discount").desc())
+
+
+@register("rdensity", """
+SELECT user_id,
+  round((count(*) + 1) / (epoch_us(max(ts)) / 1000000.0
+                          - epoch_us(min(ts)) / 1000000.0), 6) AS rdensity
+FROM events GROUP BY user_id
+""")
+def q_rdensity(spark, sf_dir):
+    """A1 Rdensity — (count+1)/signal-duration (HRV_features.py:121-123;
+    events-per-second analog of R-peaks per sample window)."""
+    ev = _events(spark, sf_dir)
+    sec = windows.epoch_seconds(ev, "ts")
+    out = ev.groupBy("user_id").agg(
+        stats.rdensity(F.max(sec) - F.min(sec), F.lit(1.0),
+                       F.count(F.lit(1))).alias("rdensity"))
+    return _round(out, ["rdensity"])
+
+
+@register("phash_near_dups")  # synthetic images table — tests cover oracle
+def q_phash_near_dups(spark, sf_dir):
+    """Image near-duplicate pairs by pHash hamming <= 6, bucketized on
+    16-bit blocks (pigeonhole guarantee needs hamming < 4 blocks; wider
+    radius accepts recall < 1, documented) — all JVM-side bit ops."""
+    img = _images(spark).select("image_id", "phash")
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("blk"),
+                 F.shiftrightunsigned(F.col("phash"), 16 * i)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for i in range(4)
+    ])
+    b = (img.withColumn("b", F.explode(blocks))
+         .select(F.col("image_id").alias("id"), F.col("phash").alias("ph"),
+                 F.col("b.blk"), F.col("b.key")))
+    pairs = (
+        b.alias("x").join(
+            b.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                F.bit_count(F.col("x.ph").bitwiseXOR(F.col("y.ph")))
+                .alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= 6)
+    )
+    return pairs

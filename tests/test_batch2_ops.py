@@ -215,3 +215,39 @@ def test_balance_and_pivot(spark):
         .set_index("id").sort_index()
     assert oh.loc[1].tolist() == [1, 0, 0]
     assert oh.loc[3].tolist() == [0, 0, 1]
+
+
+def test_phash_near_dup_planted(spark):
+    """A planted 2-bit-flipped pHash duplicate must be found by the
+    block-bucketed hamming query; far hashes must not."""
+    import __spark_entry__  # noqa: F401  (registry import side effect)
+    from ecg_feature_engineering_spark import contract
+
+    rows = [("a", 0x0123456789ABCDEF), ("b", 0x0123456789ABCDEC),  # ham 2
+            # shares 3 of 4 blocks with a (so it IS a candidate) but block 2
+            # differs by 8 bits -> must be filtered by the hamming cut
+            ("c", 0x0123FFFF89ABCDEF)]
+    img = spark.createDataFrame(pd.DataFrame(rows,
+                                             columns=["image_id", "phash"]))
+    # reuse the query body against a planted frame
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("blk"),
+                 F.shiftrightunsigned(F.col("phash"), 16 * i)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for i in range(4)])
+    b = (img.withColumn("b", F.explode(blocks))
+         .select(F.col("image_id").alias("id"), F.col("phash").alias("ph"),
+                 F.col("b.blk"), F.col("b.key")))
+    pairs = (
+        b.alias("x").join(
+            b.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                F.bit_count(F.col("x.ph").bitwiseXOR(F.col("y.ph")))
+                .alias("hamming"))
+        .distinct().where(F.col("hamming") <= 6)).toPandas()
+    assert set(map(tuple, pairs[["id_a", "id_b"]].to_numpy())) == {("a", "b")}
+    assert pairs["hamming"].iloc[0] == 2
+    assert "phash_near_dups" in contract.QUERY_BUILDERS

@@ -59,5 +59,7 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = e.queries()[name](spark, sf_dir)
     pdf = df.limit(10000).toPandas()
     assert list(pdf.columns)  # stable schema
-    if name not in ("embedding_near_dup",):  # legitimately may be empty
+    # these near-dup families legitimately find nothing in random data;
+    # planted-duplicate detection is asserted in their unit tests
+    if name not in ("embedding_near_dup", "phash_near_dups"):
         assert len(pdf) > 0, name

@@ -66,3 +66,26 @@ def test_flagship_zero_temporal_leakage(spark, sf_dir, tmp_path):
     after = base["as_of_ts"] > cutoff
     assert not got.loc[after.to_numpy(), "roll_mean"].equals(
         base.loc[after, "roll_mean"])
+
+
+def test_flagship_matches_golden_fixture(spark, sf_dir):
+    """Frozen golden feature vectors (SURVEY §5.2): every feature at every
+    entity x as_of_ts must stay allclose across engine changes. Regenerate
+    deliberately (and only with a semantic-change justification) via the
+    snippet in tests/golden/README."""
+    import os
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "flagship_sf0001.parquet")
+    want = pd.read_parquet(golden_path)
+    got = _collect(flagship(spark, sf_dir, n_images=240))
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            np.testing.assert_allclose(got[c].to_numpy(),
+                                       want[c].to_numpy(),
+                                       rtol=1e-9, equal_nan=True,
+                                       err_msg=c)
+        else:
+            assert got[c].where(got[c].notna(), None).tolist() == \
+                want[c].where(want[c].notna(), None).tolist(), c
