@@ -25,9 +25,12 @@ test perturbs future rows and asserts bit-identical output (tests/test_asof.py).
 
 Scale notes (100 TB): both strategies shuffle once on ``by``. Hot entities
 (FIXTURES.md: ~10% of rows on one entity) are ordered scans within a partition
-— O(n) per entity, no quadratic blowup; AQE cannot split a window partition,
-so for pathological single-entity skew use ``coalesce_hot_entities`` guidance
-in operators/skew.py (time-bucketed two-pass fill planned for round 2).
+— O(n) per entity, no quadratic blowup — but AQE cannot split a window
+partition, so a single pathological entity serializes into one task. For that
+case ``strategy="union_window_bucketed"`` cuts time into buckets and fills in
+two passes (within-bucket + tiny carry summaries), spreading a hot entity
+over #buckets tasks at the cost of one extra small shuffle
+(equivalence-tested against union_window in tests/test_asof.py).
 """
 
 from __future__ import annotations
@@ -62,6 +65,7 @@ def asof_join(
     suffix: str = "_r",
     strategy: str = "union_window",
     keep_match_ts: str | None = None,
+    bucket_seconds: float = 86400.0,
 ) -> DataFrame:
     """For every left row, attach the right row that is latest with
     ``right.ts <= left.ts`` (backward) or earliest with ``right.ts >= left.ts``
@@ -79,6 +83,10 @@ def asof_join(
     if strategy == "union_window":
         out = _asof_union_window(left, right, on, by, right_on, direction,
                                  tolerance, suffix)
+    elif strategy == "union_window_bucketed":
+        out = _asof_union_window_bucketed(left, right, on, by, right_on,
+                                          direction, tolerance, suffix,
+                                          bucket_seconds)
     elif strategy == "merge_asof":
         out = _asof_merge_pandas(left, right, on, by, right_on, direction,
                                  tolerance, suffix)
@@ -234,6 +242,106 @@ def _asof_union_window(left, right, on, by, right_on, direction, tolerance,
         )
         out = out.select(
             *[c for c in out.columns if c not in {*(oc for _, oc in vcols), _RTS}],
+            *[F.when(gap_ok, F.col(oc)).alias(oc) for _, oc in vcols],
+            F.when(gap_ok, F.col(_RTS)).alias(_RTS),
+        )
+    return out
+
+
+def _asof_union_window_bucketed(left, right, on, by, right_on, direction,
+                                tolerance, suffix,
+                                bucket_seconds: float) -> DataFrame:
+    """Hot-entity-safe as-of: the plain union-window sorts ALL of an
+    entity's rows in one task (window partitions can't split — the 10%-hot
+    entity in FIXTURES.md becomes a straggler at 10^12 rows). Here time is
+    cut into buckets and the fill runs in two passes:
+
+      1. within-(entity, time-bucket) running fill — parallel across
+         buckets, so a hot entity spreads over #buckets tasks;
+      2. per-bucket "carry" summaries (last non-null value per bucket —
+         a tiny table) filled across buckets per entity, joined back;
+         final value = coalesce(within-bucket fill, carry from the most
+         recent earlier bucket).
+
+    Same semantics as union_window (equivalence-tested); one extra shuffle
+    over the small summary table is the price for unbounded entity skew
+    tolerance. Forward direction mirrors with following-frames.
+    """
+    vcols = _right_value_cols(left, right, by, right_on, suffix)
+    left_cols = left.columns
+
+    l_tagged = left.select(
+        *left_cols,
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(left.schema[on].dataType).alias(_RTS),
+        *[F.lit(None).cast(right.schema[rc].dataType).alias(oc)
+          for rc, oc in vcols],
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in by],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c not in by and c != on],
+        F.col(right_on).cast(left.schema[on].dataType).alias(on),
+        F.lit(0).alias(_SIDE),
+        F.col(right_on).alias(_RTS),
+        *[F.col(rc).alias(oc) for rc, oc in vcols],
+    ).select(*l_tagged.columns)
+
+    sec = F.col(on).cast("timestamp").cast("double")
+    u = (l_tagged.unionByName(r_tagged)
+         .withColumn("__bkt", F.floor(sec / F.lit(bucket_seconds))
+                     .cast("long")))
+
+    fill_cols = [_RTS] + [oc for _, oc in vcols]
+    backward = direction == "backward"
+    side_order = F.col(_SIDE).asc() if backward else F.col(_SIDE).desc()
+    w_in = Window.partitionBy(*by, "__bkt").orderBy(F.col(on).asc(),
+                                                    side_order)
+    w_in = (w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            if backward else
+            w_in.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    fill_in = (F.last if backward else F.first)
+
+    within = u.select(
+        "*",
+        *[fill_in(c, ignorenulls=True).over(w_in).alias(f"__in_{c}")
+          for c in fill_cols],
+    )
+
+    # per-bucket summaries: the value a later (earlier, for forward) bucket
+    # would inherit — i.e. the bucket's last (first) non-null per column
+    pick = F.max_by if backward else F.min_by
+    order_key = F.struct(sec.alias("s"), F.col(_SIDE).alias("d"))
+    summaries = u.groupBy(*by, "__bkt").agg(
+        *[pick(F.col(c), F.when(F.col(c).isNotNull(), order_key))
+          .alias(f"__b_{c}") for c in fill_cols])
+    w_carry = Window.partitionBy(*by).orderBy(
+        F.col("__bkt").asc() if backward else F.col("__bkt").desc())
+    w_carry = w_carry.rowsBetween(Window.unboundedPreceding, -1)
+    carries = summaries.select(
+        *by, "__bkt",
+        *[F.last(f"__b_{c}", ignorenulls=True).over(w_carry)
+          .alias(f"__carry_{c}") for c in fill_cols],
+    )
+
+    out = (
+        within.where(F.col(_SIDE) == 1)
+        .join(carries, on=[*by, "__bkt"], how="left")
+        .select(
+            *[c for c in left_cols],
+            *[F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}"))
+              .alias(c) for c in fill_cols],
+        )
+    )
+
+    if tolerance is not None:
+        gap_ok = (
+            F.col(on) - F.col(_RTS) <= tolerance
+            if backward else F.col(_RTS) - F.col(on) <= tolerance
+        )
+        out = out.select(
+            *[c for c in out.columns
+              if c not in {*(oc for _, oc in vcols), _RTS}],
             *[F.when(gap_ok, F.col(oc)).alias(oc) for _, oc in vcols],
             F.when(gap_ok, F.col(_RTS)).alias(_RTS),
         )

@@ -52,7 +52,8 @@ def _run(spark, left, right, **kw):
             .reset_index(drop=True))
 
 
-@pytest.mark.parametrize("strategy", ["union_window", "merge_asof"])
+@pytest.mark.parametrize("strategy", ["union_window", "merge_asof",
+                                      "union_window_bucketed"])
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 def test_asof_matches_pandas(spark, strategy, direction):
     left, right = _mkdata()
@@ -154,3 +155,42 @@ def test_asof_join_many_equals_chained(spark):
     for c in ("ts1", "ts2"):
         assert a[c].fillna(pd.Timestamp(0)).equals(
             b[c].fillna(pd.Timestamp(0))), c
+
+
+def test_bucketed_strategy_equivalence_hot_entity(spark):
+    """Bucketed two-pass fill == plain union window, including on an
+    entity holding most rows (the 10^12-scale hot-entity scenario) and
+    with small buckets forcing many cross-bucket carries."""
+    rng = np.random.default_rng(99)
+    base = pd.Timestamp("2024-01-01")
+    n = 400
+    left = pd.DataFrame({
+        "entity_id": ["hot"] * (n // 2)
+        + [f"e{i%5}" for i in range(n // 2)],
+        "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "lval": rng.normal(size=n).round(3)})
+    right = pd.DataFrame({
+        "entity_id": ["hot"] * (n // 2)
+        + [f"e{i%5}" for i in range(n // 2)],
+        "ts": base + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "rval": rng.normal(size=n).round(3)})
+    for direction in ("backward", "forward"):
+        a = _run(spark, left, right, direction=direction,
+                 strategy="union_window")
+        b = _run(spark, left, right, direction=direction,
+                 strategy="union_window_bucketed", bucket_seconds=3600.0)
+        np.testing.assert_allclose(a["rval"].to_numpy(float),
+                                   b["rval"].to_numpy(float),
+                                   rtol=0, atol=0, equal_nan=True)
+
+
+def test_bucketed_tolerance(spark):
+    left, right = _mkdata(seed=5)
+    from pyspark.sql import functions as F
+    a = _run(spark, left, right, tolerance=F.expr("INTERVAL 1 DAYS"),
+             strategy="union_window")
+    b = _run(spark, left, right, tolerance=F.expr("INTERVAL 1 DAYS"),
+             strategy="union_window_bucketed", bucket_seconds=7200.0)
+    np.testing.assert_allclose(a["rval"].to_numpy(float),
+                               b["rval"].to_numpy(float),
+                               rtol=0, atol=0, equal_nan=True)
