@@ -1452,3 +1452,12 @@ def q_phash_near_dups(spark, sf_dir):
         .where(F.col("hamming") <= 6)
     )
     return pairs
+
+
+@register("sample_entropy_qrs")  # normalized A11 variant — tests/ oracle
+def q_sample_entropy_qrs(spark, sf_dir):
+    """A11 — normalized SampEn m=0..3 with the None->100 patch
+    (QRS_features.py:305-322)."""
+    ev = _events(spark, sf_dir)
+    out = kernels.sample_entropy_qrs_agg(ev, "value", "user_id", "ts", 3)
+    return _round(out, [c for c in out.columns if c != "user_id"])

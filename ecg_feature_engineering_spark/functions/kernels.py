@@ -275,6 +275,61 @@ def sample_entropy_np(x: np.ndarray, m_max: int = 2, r: float | None = None
     return out
 
 
+def sample_entropy_qrs_np(x: np.ndarray, m_max: int = 3) -> np.ndarray:
+    """The reference's second SampEn flavor (A11 QRS SampleEn,
+    QRS_features.py:305-322 wrapping sampen2 normalize=True): z-score the
+    series (population std), r = 0.2, m = 0..m_max, undefined entries
+    patched to 100 (the reference's None->100 rule). SampEn(0) uses the
+    all-matching length-0 template convention B = C(n,2)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    out = np.full(m_max + 1, 100.0)
+    if n < (m_max + 1) * 2:
+        return out
+    sd = x.std()
+    if sd == 0:
+        return out
+    z = (x - x.mean()) / sd
+    r = 0.2
+
+    def pair_count(m: int, k: int) -> int:
+        templ = np.lib.stride_tricks.sliding_window_view(z, m)[:k]
+        d = np.abs(templ[:, None, :] - templ[None, :, :]).max(axis=2)
+        iu = np.triu_indices(k, 1)
+        return int(np.count_nonzero(d[iu] <= r))
+
+    for m in range(0, m_max + 1):
+        if m == 0:
+            b = n * (n - 1) // 2
+            a = pair_count(1, n)
+        else:
+            k = n - m
+            b = pair_count(m, k)
+            a = pair_count(m + 1, k)
+        if b > 0 and a > 0:
+            out[m] = -np.log(a / b)
+    return out
+
+
+def sample_entropy_qrs_agg(df, value: str = "value", by: str = "entity_id",
+                           order: str = "ts", m_max: int = 3):
+    """Grouped kernel for the normalized QRS SampEn family (m=0..3)."""
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values(order)[value].to_numpy()
+        se = sample_entropy_qrs_np(x, m_max=m_max)
+        row = {by: pdf[by].iloc[0]}
+        for m in range(0, m_max + 1):
+            row[f"sampen_m{m}"] = float(se[m])
+        return pd.DataFrame([row])
+
+    by_type = dict(zip(df.schema.names,
+                       (f.dataType.simpleString() for f in df.schema.fields)))[by]
+    schema = f"{by} {by_type}, " + ", ".join(
+        f"sampen_m{m} double" for m in range(0, m_max + 1))
+    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+
+
 def sample_entropy_agg(df, value: str = "value", by: str = "entity_id",
                        order: str = "ts", m_max: int = 2):
     """Per-entity SampEn UDAF (U4) via applyInPandas — the reference's only

@@ -136,3 +136,22 @@ def test_phash_deterministic_and_sensitive():
     assert h1 == h2
     other = codecs.phash64(255 - px)
     assert h1 != other
+
+
+def test_sample_entropy_qrs_variant(spark, sf_dir, events_pdf):
+    got = (kernels.sample_entropy_qrs_agg(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        "value", "user_id", "ts", 3).toPandas().set_index("user_id"))
+    for uid, grp in list(events_pdf.groupby("user_id"))[:3]:
+        x = grp.sort_values("ts")["value"].to_numpy()
+        want = kernels.sample_entropy_qrs_np(x, 3)
+        for m in range(4):
+            assert np.isclose(got.loc[uid, f"sampen_m{m}"], want[m]), (uid, m)
+    # short / constant series patch to 100
+    assert (kernels.sample_entropy_qrs_np(np.ones(3), 3) == 100.0).all()
+    assert (kernels.sample_entropy_qrs_np(np.full(50, 2.0), 3) == 100.0).all()
+    # m=0 consistency with the canonical count on a random series
+    rng = np.random.default_rng(8)
+    z = rng.normal(size=40)
+    se = kernels.sample_entropy_qrs_np(z, 0)
+    assert se[0] > 0
