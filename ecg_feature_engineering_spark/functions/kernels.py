@@ -189,6 +189,57 @@ def image_payload_features(df, id_col: str = "image_id",
         .mapInPandas(run, schema=out_schema)
 
 
+def payload_features_struct_udf():
+    """Struct-returning scalar pandas UDF over (bytes, fmt, phash) — the
+    minimal-transfer form of ``image_payload_features``: every other column
+    (caption, ids, timestamps) stays JVM-side, so the Arrow exchange
+    carries only the payload in and ~20 doubles out. Prefer this in wide
+    plans; the mapInPandas twin remains for pipelines that want to drop the
+    payload column early. Same numbers (tests assert equality)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(PAYLOAD_FEATURES_FIELDS)
+
+    @pandas_udf(schema)
+    def feats(data: pd.Series, fmts: pd.Series, stored: pd.Series
+              ) -> pd.DataFrame:
+        n = len(data)
+        stats = np.empty((n, 7), dtype=np.float64)
+        ext = np.empty((n, 11), dtype=np.float64)
+        dims = np.empty((n, 2), dtype=np.int32)
+        ph = np.empty(n, dtype=np.int64)
+        ham = np.empty(n, dtype=np.int32)
+        stored_np = stored.to_numpy().astype(np.int64)
+        d_np, f_np = data.to_numpy(), fmts.to_numpy()
+        for i in range(n):
+            px = _decode_one(d_np[i], f_np[i]).astype(np.float64)
+            luma = px @ _LUMA
+            stats[i] = (
+                px.mean(), px.std(), luma.mean(), luma.std(),
+                px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(),
+            )
+            dims[i] = (px.shape[1], px.shape[0])
+            ext[i], ph[i], ham[i] = _extended_image_features(
+                px, int(stored_np[i]))
+        out = pd.DataFrame({
+            "px_mean": stats[:, 0], "px_std": stats[:, 1],
+            "luma_mean": stats[:, 2], "luma_std": stats[:, 3],
+            "r_mean": stats[:, 4], "g_mean": stats[:, 5],
+            "b_mean": stats[:, 6],
+            "decoded_w": dims[:, 0], "decoded_h": dims[:, 1],
+            "phash_recomputed": ph, "phash_hamming": ham,
+        })
+        for j, c in enumerate(["grad_x_mean", "grad_y_mean", "edge_density",
+                               "hist_entropy", "luma_p10", "luma_p50",
+                               "luma_p90", "dct_dc", "dct_low_energy",
+                               "dct_mid_energy", "dct_high_energy"]):
+            out[c] = ext[:, j]
+        return out
+
+    return feats
+
+
 def phash_check(df, id_col: str = "image_id", bytes_col: str = "bytes",
                 fmt_col: str = "fmt", phash_col: str = "phash"):
     """Recompute the 64-bit pHash from the payload and compare with the stored

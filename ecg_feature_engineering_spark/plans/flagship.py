@@ -26,10 +26,19 @@ from ecg_feature_engineering_spark.operators.text import quality_features
 
 def image_features(images: DataFrame) -> DataFrame:
     """Payload-side features: decoded-pixel stats + recomputed pHash +
-    hamming-vs-stored (one fused Arrow kernel — payload decoded once), plus
-    pHash bit features and caption quality features (JVM-side)."""
-    keep = ["image_id", "entity_id", "ts", "phash", "caption"]
-    decoded = kernels.image_payload_features(images, keep=keep)
+    hamming-vs-stored + gradient/histogram/DCT block (one fused Arrow
+    kernel — payload decoded once), plus pHash bit features and caption
+    quality features (JVM-side).
+
+    The kernel is a struct-returning scalar pandas UDF: only
+    (bytes, fmt, phash) cross the Python boundary; ids/timestamps/captions
+    stay JVM-side (minimal Arrow transfer — PERF.md)."""
+    feats_udf = kernels.payload_features_struct_udf()
+    decoded = (
+        images.select("image_id", "entity_id", "ts", "phash", "caption",
+                      feats_udf("bytes", "fmt", "phash").alias("__pf"))
+        .select("image_id", "entity_id", "ts", "phash", "caption", "__pf.*")
+    )
     feats = quality_features(
         decoded.withColumnRenamed("caption", "text"), "text"
     ).withColumnRenamed("text", "caption")
