@@ -1461,3 +1461,48 @@ def q_sample_entropy_qrs(spark, sf_dir):
     ev = _events(spark, sf_dir)
     out = kernels.sample_entropy_qrs_agg(ev, "value", "user_id", "ts", 3)
     return _round(out, [c for c in out.columns if c != "user_id"])
+
+
+@register("per_lead_summary", """
+SELECT user_id, event_type,
+  round(avg(value), 6) AS s_mean,
+  round(max(value), 6) AS s_max,
+  round(min(value), 6) AS s_min,
+  round(sqrt(avg(value * value) - avg(value) * avg(value)), 6) AS s_std,
+  round(quantile_cont(value, 0.25), 6) AS s_p25,
+  round(quantile_cont(value, 0.75), 6) AS s_p75
+FROM events GROUP BY user_id, event_type
+""")
+def q_per_lead_summary(spark, sf_dir):
+    """A12/J2 — the SHORT per-(entity, lead) summary shape: lead becomes a
+    grouping column (event_type here), killing the reference's 12-way
+    horizontal join and 12 passes (extract_SHORT.py:142-296, J2)."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    out = ev.groupBy("user_id", "event_type").agg(
+        F.avg(v).alias("s_mean"),
+        F.max(v).alias("s_max"),
+        F.min(v).alias("s_min"),
+        stats.std_pop(v).alias("s_std"),
+        stats.pctl(v, 25).alias("s_p25"),
+        stats.pctl(v, 75).alias("s_p75"),
+    )
+    return _round(out, ["s_mean", "s_max", "s_min", "s_std", "s_p25",
+                        "s_p75"])
+
+
+@register("nan_scrub", """
+SELECT event_id, user_id,
+  coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0)
+    AS value_scrubbed
+FROM events
+""")
+def q_nan_scrub(spark, sf_dir):
+    """P4 — NaN/null scrub to a constant (np.nan_to_num /
+    HRV_features.py:135-139 zero-fill semantics) via na.fill."""
+    ev = _events(spark, sf_dir).withColumn(
+        "value_scrubbed",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value")))
+    return (ev.na.fill({"value_scrubbed": 0.0})
+            .select("event_id", "user_id", "value_scrubbed"))
