@@ -90,10 +90,13 @@ def _scaling_stage(sf_dir: str) -> None:
     stop_spark()
 
 
-def _scaling_run_once(sf_dir: str, cores: int) -> float:
-    """One wall-time sample of the full flagship plan (scan -> fused image
-    kernel -> caption features -> fused as-of -> event window features) over
-    the staged corpus at the given core count (fresh session)."""
+def _scaling_run_once(sf_dir: str, cores: int,
+                      kernel_only: bool = False) -> float:
+    """One wall-time sample at the given core count (fresh session).
+    Full plan: scan -> fused image kernel -> caption features -> fused
+    as-of -> event window features. ``kernel_only`` measures just the
+    payload-kernel stage — the arm that isolates engine scaling from this
+    single box's shared arrow-transfer/stage-floor costs (BENCH.md)."""
     stop_spark()
     spark = get_spark(
         app_name=f"bench-scale-{cores}", cores=cores,
@@ -101,10 +104,15 @@ def _scaling_run_once(sf_dir: str, cores: int) -> float:
     warm_python_workers(spark)
     images = spark.read.parquet(SCALING_STAGE)
     n_entities = N_SCALING // 20
-    snapshots = spark.read.parquet(SCALING_STAGE + "_snapshots")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
     t0 = time.time()
-    materialize(fplan.feature_plan(images, snapshots, events, n_entities))
+    if kernel_only:
+        materialize(kernels.image_payload_features(images,
+                                                   keep=["image_id"]))
+    else:
+        snapshots = spark.read.parquet(SCALING_STAGE + "_snapshots")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        materialize(fplan.feature_plan(images, snapshots, events,
+                                       n_entities))
     dt = time.time() - t0
     stop_spark()
     return dt
@@ -118,13 +126,18 @@ def scaling_evidence(sf_dir: str) -> dict:
     """
     _scaling_stage(sf_dir)
     samples: dict[int, list[float]] = {8: [], 32: []}
-    for _ in range(SCALING_REPEATS):
+    ksamples: dict[int, list[float]] = {8: [], 32: []}
+    for rep in range(SCALING_REPEATS):
         for cores in (8, 32):
             samples[cores].append(_scaling_run_once(sf_dir, cores))
+            if rep < 2:  # kernel-only arm: 2 interleaved samples suffice
+                ksamples[cores].append(
+                    _scaling_run_once(sf_dir, cores, kernel_only=True))
     # best-of-N: this sandbox VM's throughput drifts ~40% between minutes;
     # the minimum is the noise-robust estimate of the CPU-bound wall time
     sec_n = round(min(samples[8]), 3)
     sec_4n = round(min(samples[32]), 3)
+    ksec_n, ksec_4n = min(ksamples[8]), min(ksamples[32])
     thr_n = N_SCALING / sec_n
     thr_4n = N_SCALING / sec_4n
     return {
@@ -139,6 +152,11 @@ def scaling_evidence(sf_dir: str) -> dict:
         "images_per_sec_n": round(thr_n, 1),
         "images_per_sec_4n": round(thr_4n, 1),
         "scaling_efficiency": round(thr_4n / (4 * thr_n), 3),
+        # kernel-stage-only arm: engine scaling isolated from this single
+        # box's shared arrow-transfer + small-stage floors (see BENCH.md)
+        "kernel_sec_n": round(ksec_n, 3),
+        "kernel_sec_4n": round(ksec_4n, 3),
+        "kernel_scaling_efficiency": round(ksec_n / (4 * ksec_4n), 3),
     }
 
 
