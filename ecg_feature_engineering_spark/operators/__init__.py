@@ -1,6 +1,7 @@
 from ecg_feature_engineering_spark.operators import (
     asof,
     dedup,
+    joins,
     similarity,
     skew,
     splits,
@@ -9,5 +10,5 @@ from ecg_feature_engineering_spark.operators import (
     windows,
 )
 
-__all__ = ["asof", "dedup", "similarity", "skew", "splits", "stats", "text",
-           "windows"]
+__all__ = ["asof", "dedup", "joins", "similarity", "skew", "splits",
+           "stats", "text", "windows"]

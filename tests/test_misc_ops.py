@@ -212,3 +212,19 @@ def test_streaming_sliding_aggs(spark, sf_dir, tmp_path):
             suffixes=("_s", "_b"))
     assert merged["n_events_b"].notna().all()
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_salted_count_equals_plain(spark, sf_dir):
+    """Two-phase salted aggregation == plain groupBy count, including on
+    the planted hot phash prefix (operators/skew.py)."""
+    from ecg_feature_engineering_spark.operators import skew
+
+    img = datagen.images_df(spark, 400, seed=42).select(
+        "image_id", (F.shiftrightunsigned("phash", 48)).alias("prefix"))
+    plain = img.groupBy("prefix").count().toPandas() \
+        .set_index("prefix")["count"].to_dict()
+    salted = skew.salted_count(img, ["prefix"], n_salts=8,
+                               unique_col="image_id").toPandas() \
+        .set_index("prefix")["n"].to_dict()
+    assert plain == salted
+    assert max(plain.values()) >= 15  # hot prefix really is hot
