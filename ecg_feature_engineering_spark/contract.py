@@ -1325,8 +1325,8 @@ def q_anchor_window_aggs(spark, sf_dir):
     out = out.select(
         "user_id", "anchor_id", "n_events", "max_value", "min_value",
         "mean_value", "amplitude",
-        F.col("argmax_ts").cast("timestamp").cast("double").alias("argmax_s"),
-        F.col("argmin_ts").cast("timestamp").cast("double").alias("argmin_s"))
+        windows.ntz_epoch_seconds("argmax_ts").alias("argmax_s"),
+        windows.ntz_epoch_seconds("argmin_ts").alias("argmin_s"))
     return _round(out, ["max_value", "min_value", "mean_value", "amplitude",
                         "argmax_s", "argmin_s"])
 

@@ -21,15 +21,29 @@ from pyspark.sql import functions as F
 
 
 def epoch_seconds(df: DataFrame, col: str) -> Column:
-    """Numeric seconds for a ts column of any flavor (timestamp, timestamp_ntz,
-    or already-numeric). timestamp_ntz (the parquet default in Spark 4) can't
-    cast straight to double, so hop through timestamp (session tz is pinned
-    UTC in session.py, so the hop is value-preserving)."""
+    """Numeric seconds for a ts column of any flavor (timestamp,
+    timestamp_ntz, or already-numeric) — **independent of the session time
+    zone**. TIMESTAMP_NTZ (the parquet default in Spark 4) measures from
+    the naive epoch via timestampdiff, so the result is identical on a
+    cluster whose session tz isn't UTC (a tz-dependent
+    cast-through-timestamp would silently shift absolute values there)."""
     t = df.schema[col].dataType.simpleString()
     c = F.col(col)
+    if t == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+            f"00:00:00', `{col}`)") / F.lit(1e6)
     if t.startswith("timestamp"):
-        return c.cast("timestamp").cast("double")
+        return c.cast("double")
     return c.cast("double")
+
+
+def ntz_epoch_seconds(col: Column | str) -> Column:
+    """Session-tz-independent epoch seconds for a TIMESTAMP_NTZ column or
+    expression (naive-epoch microsecond diff)."""
+    c = F.col(col) if isinstance(col, str) else col
+    zero = F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+    return F.timestamp_diff("MICROSECOND", zero, c) / F.lit(1e6)
 
 
 def entity_window(by="entity_id", order="ts") -> WindowSpec:
@@ -156,14 +170,17 @@ def tumbling_time_aggs(df: DataFrame, length_seconds: float,
     twin of the streaming groupBy(window(...)); window start/end exposed as
     epoch seconds for engine-portable output)."""
     by = [by] if isinstance(by, str) else list(by)
-    win = F.window(F.col(order).cast("timestamp"), f"{int(length_seconds)} seconds")
+    # window() accepts TIMESTAMP_NTZ directly and aligns in naive time —
+    # session-tz-independent (verified under a non-UTC session)
+    win = F.window(F.col(order), f"{int(length_seconds)} seconds")
     return (
         df.groupBy(*by, win.alias("__w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum(value).alias("sum_value"),
              F.avg(value).alias("avg_value"))
         .select(*by,
-                F.col("__w.start").cast("double").alias("window_start_s"),
+                ntz_epoch_seconds(F.col("__w.start"))
+                .alias("window_start_s"),
                 "n_events", "sum_value", "avg_value")
     )
 
@@ -175,7 +192,7 @@ def sliding_time_aggs(df: DataFrame, length_seconds: float,
     slide)`` (HRV_features.py:32-58 SegSig_1d semantics on the time axis).
     Rows fan out to length/slide windows — explicit, bounded cost."""
     by = [by] if isinstance(by, str) else list(by)
-    win = F.window(F.col(order).cast("timestamp"),
+    win = F.window(F.col(order),
                    f"{int(length_seconds)} seconds",
                    f"{int(slide_seconds)} seconds")
     return (
@@ -183,7 +200,8 @@ def sliding_time_aggs(df: DataFrame, length_seconds: float,
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.avg(value).alias("avg_value"))
         .select(*by,
-                F.col("__w.start").cast("double").alias("window_start_s"),
+                ntz_epoch_seconds(F.col("__w.start"))
+                .alias("window_start_s"),
                 "n_events", "avg_value")
     )
 
