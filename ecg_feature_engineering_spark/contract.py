@@ -1506,3 +1506,12 @@ def q_nan_scrub(spark, sf_dir):
         .otherwise(F.col("value")))
     return (ev.na.fill({"value_scrubbed": 0.0})
             .select("event_id", "user_id", "value_scrubbed"))
+
+
+@register("ivf_topk")  # quantizer-dependent recall — rows-only; tests/
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN — KMeans coarse quantizer + inverted-list probe + exact
+    re-rank (the second scale path beside sign-LSH)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5,
+                               n_lists=8, n_probe=3)

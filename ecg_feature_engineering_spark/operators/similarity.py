@@ -123,6 +123,68 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     )
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_lists: int = 16, n_probe: int = 3,
+             seed: int = 7, max_train: int = 20_000) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
+    ``n_lists`` inverted lists; each query probes its ``n_probe`` nearest
+    centroids and exact cosine re-ranks only those lists' members.
+
+    Scale shape: centroids are tiny and broadcast; corpus list assignment
+    is one pass (done once, reusable as a materialized column/partition
+    key); the probe join is an equi-join on list id — candidates per query
+    are |corpus|*n_probe/n_lists instead of |corpus|. The quantizer trains
+    on a bounded sample (``max_train``) so training never scans 10^12 rows.
+    """
+    import numpy as np  # noqa: F811
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = (corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+             .limit(max_train))
+    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centroids = np.stack([np.asarray(c) for c in km.clusterCenters()])
+    cnorm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def nearest_lists(n: int):
+        """Column: array of the n nearest list ids by centroid cosine."""
+        sims = F.array(*[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+            for c in cnorm
+        ])
+        idx = F.array(*[
+            F.struct(F.element_at(sims, i + 1).alias("s"),
+                     F.lit(i).alias("list_id"))
+            for i in range(n_lists)
+        ])
+        top = F.slice(F.reverse(F.array_sort(idx)), 1, n)
+        return F.transform(top, lambda t: t["list_id"])
+
+    listed = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        F.element_at(nearest_lists(1), 1).alias("list_id"))
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.explode(nearest_lists(n_probe)).alias("list_id"))
+    scored = (
+        listed.join(probes, "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("cos", 6).alias("cos"))
+    )
+
+
 def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_planes: int = 10, tables: int = 6) -> DataFrame:
