@@ -553,31 +553,64 @@ def anchor_fiducials_kernel(events, anchors, by: str = "entity_id",
     Relational twin: operators/joins.anchor_window_aggs (bucketized range
     join) — tests assert both agree."""
 
+    FIDUCIAL_COLS = [
+        "n_events", "max_value", "min_value", "mean_value", "amplitude",
+        # per-beat fiducial analogs (extract_SHORT.py:68-139): peak/trough
+        # positions, onset/offset values, rise/fall slopes, window area,
+        # pre/post-anchor means and their step
+        "argmax_offset_s", "argmin_offset_s", "first_value", "last_value",
+        "slope_up", "slope_down", "area", "pre_mean", "post_mean",
+        "pre_post_step", "n_pre", "n_post", "value_at_anchor",
+    ]
+
     def run(a_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         if a_pdf.empty:
-            return pd.DataFrame(columns=[by, anchor_key, "n_events",
-                                         "max_value", "min_value",
-                                         "mean_value", "amplitude"])
+            return pd.DataFrame(columns=[by, anchor_key, *FIDUCIAL_COLS])
         ev = e_pdf.sort_values(event_ts)
         ets = ev[event_ts].to_numpy()
         vals = ev[value].to_numpy()
+        sec = ets.astype("datetime64[us]").astype(np.int64) / 1e6
         for _, a in a_pdf.iterrows():
-            t0 = a[event_ts] + pd.Timedelta(seconds=lo_s)
-            t1 = a[event_ts] + pd.Timedelta(seconds=hi_s)
-            sel = vals[(ets >= t0.to_numpy()) & (ets <= t1.to_numpy())]
+            t0 = (a[event_ts] + pd.Timedelta(seconds=lo_s)).to_numpy()
+            t1 = (a[event_ts] + pd.Timedelta(seconds=hi_s)).to_numpy()
+            ta = float(np.datetime64(a[event_ts], "us").astype(np.int64)
+                       / 1e6)
+            m = (ets >= t0) & (ets <= t1)
+            sel, ssec = vals[m], sec[m]
             row = {by: a[by], anchor_key: a[anchor_key]}
             if len(sel):
-                row.update(n_events=int(len(sel)),
-                           max_value=float(sel.max()),
-                           min_value=float(sel.min()),
-                           mean_value=float(sel.mean()),
-                           amplitude=float(sel.max() - sel.min()))
+                imax, imin = int(sel.argmax()), int(sel.argmin())
+                pre, post = sel[ssec <= ta], sel[ssec > ta]
+                dt_up = ssec[imax] - ssec[0]
+                dt_dn = ssec[-1] - ssec[imax]
+                row.update(
+                    n_events=int(len(sel)),
+                    max_value=float(sel.max()),
+                    min_value=float(sel.min()),
+                    mean_value=float(sel.mean()),
+                    amplitude=float(sel.max() - sel.min()),
+                    argmax_offset_s=float(ssec[imax] - ta),
+                    argmin_offset_s=float(ssec[imin] - ta),
+                    first_value=float(sel[0]),
+                    last_value=float(sel[-1]),
+                    slope_up=float((sel[imax] - sel[0]) / dt_up)
+                    if dt_up > 0 else 0.0,
+                    slope_down=float((sel[-1] - sel[imax]) / dt_dn)
+                    if dt_dn > 0 else 0.0,
+                    area=float(np.trapz(sel, ssec)) if len(sel) > 1 else 0.0,
+                    pre_mean=float(pre.mean()) if len(pre) else None,
+                    post_mean=float(post.mean()) if len(post) else None,
+                    pre_post_step=float(post.mean() - pre.mean())
+                    if len(pre) and len(post) else None,
+                    n_pre=int(len(pre)), n_post=int(len(post)),
+                    value_at_anchor=float(pre[-1]) if len(pre) else None,
+                )
             else:
-                row.update(n_events=0, max_value=None, min_value=None,
-                           mean_value=None, amplitude=None)
+                row.update({c: (0 if c in ("n_events", "n_pre", "n_post")
+                                else None) for c in FIDUCIAL_COLS})
             out.append(row)
-        return pd.DataFrame(out)
+        return pd.DataFrame(out, columns=[by, anchor_key, *FIDUCIAL_COLS])
 
     by_type = dict(zip(events.schema.names,
                        (f.dataType.simpleString()
@@ -587,7 +620,12 @@ def anchor_fiducials_kernel(events, anchors, by: str = "entity_id",
                          for f in anchors.schema.fields)))[anchor_key]
     schema = (f"{by} {by_type}, {anchor_key} {key_type}, n_events long, "
               "max_value double, min_value double, mean_value double, "
-              "amplitude double")
+              "amplitude double, argmax_offset_s double, "
+              "argmin_offset_s double, first_value double, "
+              "last_value double, slope_up double, slope_down double, "
+              "area double, pre_mean double, post_mean double, "
+              "pre_post_step double, n_pre long, n_post long, "
+              "value_at_anchor double")
     return (
         anchors.groupBy(by)
         .cogroup(events.select(by, event_ts, value).groupBy(by))

@@ -251,3 +251,35 @@ def test_phash_near_dup_planted(spark):
     assert set(map(tuple, pairs[["id_a", "id_b"]].to_numpy())) == {("a", "b")}
     assert pairs["hamming"].iloc[0] == 2
     assert "phash_near_dups" in contract.QUERY_BUILDERS
+
+
+def test_fiducial_kernel_extended_outputs(spark, sf_dir, events_pdf):
+    """Extended per-anchor fiducials vs a literal pandas recomputation for
+    a few anchors (slopes, offsets, area, pre/post means)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    base = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    anchors = base.select("user_id", F.col("event_id").alias("anchor_id"),
+                          "ts")
+    got = kernels.anchor_fiducials_kernel(
+        ev, anchors, by="user_id", anchor_key="anchor_id",
+        lo_s=-7200.0, hi_s=7200.0).toPandas().set_index("anchor_id")
+    apdf = base.toPandas()
+    for _, a in apdf.iloc[:10].iterrows():
+        grp = events_pdf[events_pdf.user_id == a["user_id"]].sort_values("ts")
+        t0 = a["ts"] - pd.Timedelta(seconds=7200)
+        t1 = a["ts"] + pd.Timedelta(seconds=7200)
+        w = grp[(grp.ts >= t0) & (grp.ts <= t1)]
+        sel = w["value"].to_numpy()
+        ssec = w["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        ta = pd.Timestamp(a["ts"]).value / 1e9
+        row = got.loc[a["event_id"]]
+        assert row["n_events"] == len(sel)
+        imax = sel.argmax()
+        assert np.isclose(row["argmax_offset_s"], ssec[imax] - ta, atol=1e-5)
+        assert np.isclose(row["first_value"], sel[0])
+        assert np.isclose(row["last_value"], sel[-1])
+        if len(sel) > 1:
+            assert np.isclose(row["area"], np.trapz(sel, ssec), rtol=1e-9)
+        pre = sel[ssec <= ta]
+        assert np.isclose(row["value_at_anchor"], pre[-1])
+        assert row["n_pre"] == len(pre)
