@@ -21,6 +21,7 @@ from ecg_feature_engineering_spark.plans.flagship import flagship  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    contract.ensure_workers_can_import(spark)
     return flagship(spark, "/root/testdata/sf0.001", n_images=240)
 
 

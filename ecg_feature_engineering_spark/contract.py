@@ -12,6 +12,8 @@ they appear in QUERY_BUILDERS only and get numeric oracles in tests/.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,9 +41,54 @@ NN_THRESHOLD = 15.0
 BIN_THRESHOLDS = [150.0, 100.0, 50.0]
 
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the engine package to executor Python workers via addPyFile.
+
+    The driver process importing this module does not make the package
+    importable inside executor workers when the session was launched from
+    another working directory (cloudpickle references module functions by
+    name). Building a zip once and addPyFile-ing it makes every
+    kernel-bearing query self-contained — the same mechanism as the
+    production ``spark-submit --py-files dist/engine.zip``."""
+    import tempfile
+    import zipfile
+
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         "ecg_feature_engineering_spark_pyfiles.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "ecg_feature_engineering_spark",
+                            os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERY_BUILDERS[name] = fn
+        def wrapped(spark, sf_dir):
+            ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERY_BUILDERS[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
