@@ -83,6 +83,7 @@ def _scaling_stage(sf_dir: str) -> None:
     if os.path.exists(f"{SCALING_STAGE}/_SUCCESS"):
         return
     spark = get_spark(app_name="bench-stage", cores=32)
+    contract.ensure_workers_can_import(spark)
     datagen.images_df(spark, N_SCALING, seed=42, min_side=24, max_side=32,
                       parts=256).write.mode("overwrite").parquet(SCALING_STAGE)
     datagen.snapshots_df(spark, N_SCALING // 20, 12, seed=42).write.mode(
@@ -101,6 +102,7 @@ def _scaling_run_once(sf_dir: str, cores: int,
     spark = get_spark(
         app_name=f"bench-scale-{cores}", cores=cores,
         extra_conf={"spark.sql.files.maxPartitionBytes": SCALING_MPB})
+    contract.ensure_workers_can_import(spark)
     warm_python_workers(spark)
     images = spark.read.parquet(SCALING_STAGE)
     n_entities = N_SCALING // 20
@@ -167,6 +169,7 @@ def main():
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark(app_name="bench", cores=cpus)
+    contract.ensure_workers_can_import(spark)
     timings: dict[str, float] = {}
 
     # warm the JVM/Python workers once so timings measure steady state

@@ -47,6 +47,8 @@ def main() -> None:
     from ecg_feature_engineering_spark.session import get_spark
 
     spark = SparkSession.getActiveSession() or get_spark("flagship-job")
+    from ecg_feature_engineering_spark import contract as _c
+    _c.ensure_workers_can_import(spark)
     cp = StageCheckpointer(spark, args.checkpoint_root)
     n_entities = max(args.n_images // 20, 2)
 

@@ -68,6 +68,8 @@ def main():
     from ecg_feature_engineering_spark.session import get_spark
 
     spark = get_spark(cores=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    from ecg_feature_engineering_spark import contract as _c
+    _c.ensure_workers_can_import(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
