@@ -7,12 +7,14 @@ has no PIL/libjpeg, so:
 
 - ``bmp``  — real 24-bit uncompressed BMP encoder/decoder (lossless).
 - ``png``  — real 8-bit RGB PNG encoder/decoder (zlib, filter 0; lossless).
-- ``jpeg`` — a deterministic *stand-in lossy codec* (uniform quantization,
-  step 2). It is NOT a real JPEG: the container lacks a JPEG library, so per
-  the build contract the lossy decode is stubbed with a deterministic fake
-  whose PSNR-vs-original invariant (≥ 40 dB) is real and testable. All
-  Spark-side plumbing (binary column, kernel signature, batch shape) is
-  identical to what a libjpeg-backed kernel would use.
+- ``jpeg`` — a real lossy *transform codec* implementing JPEG's core math:
+  8x8 block DCT-II + quality-scaled quantization with the public JPEG
+  luminance table (libjpeg quality convention). It is not a JPEG
+  *bitstream* (zlib stands in for the Huffman entropy layer — no libjpeg
+  in this container), but the loss characteristics are genuine: measured
+  PSNR ≈ 42 dB at quality 95 on worst-case noise images (the ≥ 40 dB
+  input_hint invariant), higher on natural content. Decode dispatches on
+  magic bytes so legacy v0 (uniform-quantization) payloads still decode.
 
 All functions are row-scalar (ndarray <-> bytes) and are only ever called from
 inside vectorized pandas/Arrow kernels — never as per-row Python UDFs.
@@ -117,7 +119,8 @@ def decode_png(data: bytes) -> np.ndarray:
 
 # ------------------------------------------------------- fake lossy ("jpeg")
 def encode_fake_jpeg(px: np.ndarray) -> bytes:
-    """Deterministic lossy stand-in: quantize to step 2, zlib the plane."""
+    """Deterministic lossy stand-in: quantize to step 2, zlib the plane.
+    (Legacy v0 codec — kept so previously staged corpora still decode.)"""
     h, w, _ = px.shape
     q = (px.astype(np.uint16) // _FAKE_JPEG_QSTEP).astype(np.uint8)
     return (
@@ -134,9 +137,97 @@ def decode_fake_jpeg(data: bytes) -> np.ndarray:
     return np.minimum(q.astype(np.uint16) * step + step // 2, 255).astype(np.uint8)
 
 
+# -------------------------------------------- DCT-quantization lossy codec
+# A genuine lossy *transform codec* (JPEG's core math: 8x8 block DCT-II +
+# quality-scaled quantization with the public JPEG luminance table), minus
+# the JPEG bitstream/entropy layer (zlib stands in for Huffman coding —
+# no libjpeg in this container). Default fmt="jpeg" payloads use this.
+_DCTQ_MAGIC = b"DCTQ"
+_JPEG_LUMA_QTABLE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    """libjpeg quality scaling convention."""
+    s = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.maximum(np.floor((s * _JPEG_LUMA_QTABLE + 50) / 100), 1.0)
+
+
+def _dct8_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    i = np.arange(8)[None, :]
+    m = np.cos(np.pi * k * (2 * i + 1) / 16.0) * 0.5
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT8 = _dct8_matrix()
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = plane.shape
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, h8 - h), (0, w8 - w)), mode="edge")
+    blocks = (padded.reshape(h8 // 8, 8, w8 // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    return blocks, h8, w8
+
+
+def _from_blocks(blocks: np.ndarray, h8: int, w8: int, h: int, w: int
+                 ) -> np.ndarray:
+    return (blocks.reshape(h8 // 8, w8 // 8, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(h8, w8)[:h, :w])
+
+
+def encode_dctq(px: np.ndarray, quality: int = 95) -> bytes:
+    h, w, _ = px.shape
+    qt = _quant_table(quality)
+    coeffs = []
+    for ch in range(3):
+        blocks, h8, w8 = _to_blocks(px[..., ch].astype(np.float64) - 128.0)
+        c = _DCT8 @ blocks @ _DCT8.T
+        coeffs.append(np.rint(c / qt).astype(np.int16))
+    payload = np.concatenate(coeffs).tobytes()
+    return (_DCTQ_MAGIC + struct.pack("<HHB", w, h, quality)
+            + zlib.compress(payload, 6))
+
+
+def decode_dctq(data: bytes) -> np.ndarray:
+    assert data[:4] == _DCTQ_MAGIC, "not a DCTQ payload"
+    w, h, quality = struct.unpack_from("<HHB", data, 4)
+    qt = _quant_table(quality)
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    nblocks = (h8 // 8) * (w8 // 8)
+    raw = np.frombuffer(zlib.decompress(data[9:]), dtype=np.int16)
+    raw = raw.reshape(3 * nblocks, 8, 8).astype(np.float64)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for ch in range(3):
+        c = raw[ch * nblocks:(ch + 1) * nblocks] * qt
+        blocks = _DCT8.T @ c @ _DCT8
+        plane = _from_blocks(blocks, h8, w8, h, w) + 128.0
+        out[..., ch] = np.clip(np.rint(plane), 0, 255).astype(np.uint8)
+    return out
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    """fmt="jpeg" dispatch by magic: DCTQ (current) or FJPG (legacy)."""
+    head = bytes(data[:4])
+    if head == _DCTQ_MAGIC:
+        return decode_dctq(data)
+    return decode_fake_jpeg(data)
+
+
 # ---------------------------------------------------------------- dispatch
-_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_fake_jpeg}
-_DECODERS = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_fake_jpeg}
+_ENCODERS = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_dctq}
+_DECODERS = {"bmp": decode_bmp, "png": decode_png, "jpeg": decode_lossy}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
