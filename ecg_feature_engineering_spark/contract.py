@@ -1562,3 +1562,12 @@ def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5,
                                n_lists=8, n_probe=3)
+
+
+@register("image_resize")  # payload-transform kernel — tests/ oracle
+def q_image_resize(spark, sf_dir):
+    """U3 — resize every image onto a common 16x16 grid (the reference's
+    common-clock resample analog), re-encoded as lossless PNG."""
+    out = kernels.resize_images(_images(spark), 16, out_fmt="png")
+    return out.select("image_id", "w", "h", "fmt",
+                      F.length("bytes").alias("n_bytes"))

@@ -276,6 +276,27 @@ def gray_resize32(gray: np.ndarray) -> np.ndarray:
     ) / area
 
 
+def area_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-mean resize of an HxWx3 uint8 image (integral
+    image per channel — the same public technique as gray_resize32,
+    generalized). The image analog of the reference's signal resample
+    (resample.py:24-28, U3)."""
+    h, w, _ = px.shape
+    ys = (np.arange(out_h + 1) * h // out_h).astype(int)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(int)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.float64)
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for ch in range(3):
+        csum = np.zeros((h + 1, w + 1))
+        csum[1:, 1:] = px[..., ch].astype(np.float64).cumsum(0).cumsum(1)
+        vals = (csum[np.ix_(y1, x1)] - csum[np.ix_(y0, x1)]
+                - csum[np.ix_(y1, x0)] + csum[np.ix_(y0, x0)]) / area
+        out[..., ch] = np.clip(np.rint(vals), 0, 255).astype(np.uint8)
+    return out
+
+
 def dct32(small: np.ndarray) -> np.ndarray:
     """2-D DCT-II of a 32x32 block (orthonormal)."""
     return _DCT32 @ small @ _DCT32.T

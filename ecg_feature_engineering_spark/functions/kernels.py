@@ -267,6 +267,40 @@ def phash_check(df, id_col: str = "image_id", bytes_col: str = "bytes",
                     "phash_recomputed long, hamming int")
 
 
+def resize_images(df, target_side: int, id_col: str = "image_id",
+                  bytes_col: str = "bytes", fmt_col: str = "fmt",
+                  out_fmt: str | None = None,
+                  keep: list[str] | None = None):
+    """U3 analog — image resize kernel (the reference resamples every
+    record onto a common 300 Hz clock, resample.py:24-28; here every image
+    is resampled onto a common pixel grid). Decode -> deterministic
+    area-mean resize -> re-encode; mapInPandas over scan partitions, no
+    shuffle. ``out_fmt`` defaults to each row's own format."""
+    keep = keep if keep is not None else [id_col]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (", ".join(f"{c} {types[c]}" for c in keep)
+                  + ", bytes binary, w int, h int, fmt string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            enc, fmts = [], []
+            for d, f in zip(b[bytes_col].to_numpy(), b[fmt_col].to_numpy()):
+                px = _decode_one(d, f)
+                small = codecs.area_resize(px, target_side, target_side)
+                tf = out_fmt or f
+                enc.append(codecs.encode(small, tf))
+                fmts.append(tf)
+            out = b[keep].copy()
+            out["bytes"] = enc
+            out["w"] = np.int32(target_side)
+            out["h"] = np.int32(target_side)
+            out["fmt"] = fmts
+            yield out
+
+    return df.select(*dict.fromkeys([*keep, bytes_col, fmt_col])) \
+        .mapInPandas(run, schema=out_schema)
+
+
 def psnr_roundtrip(df, id_col: str = "image_id", bytes_col: str = "bytes",
                    fmt_col: str = "fmt"):
     """Payload invariant (BASELINE.json input_hint): decode -> re-encode ->

@@ -155,3 +155,36 @@ def test_sample_entropy_qrs_variant(spark, sf_dir, events_pdf):
     z = rng.normal(size=40)
     se = kernels.sample_entropy_qrs_np(z, 0)
     assert se[0] > 0
+
+
+def test_area_resize_properties():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (30, 20, 3), dtype=np.uint8)
+    out = codecs.area_resize(px, 15, 10)
+    assert out.shape == (15, 10, 3)
+    # constant image stays constant
+    const = np.full((24, 24, 3), 77, dtype=np.uint8)
+    assert (codecs.area_resize(const, 8, 8) == 77).all()
+    # integer 2x downscale == exact 2x2 block means (rounded)
+    want = np.rint(px[:30, :20].reshape(15, 2, 10, 2, 3)
+                   .mean(axis=(1, 3))).astype(np.uint8)
+    np.testing.assert_array_equal(codecs.area_resize(px, 15, 10), want)
+    # global mean preserved (area weighting)
+    assert abs(out.astype(float).mean() - px.astype(float).mean()) < 2.0
+
+
+def test_resize_images_kernel(spark):
+    img = datagen.images_df(spark, 40, seed=6)
+    out = kernels.resize_images(img, 16, out_fmt="png").toPandas()
+    assert (out["w"] == 16).all() and (out["h"] == 16).all()
+    assert (out["fmt"] == "png").all()
+    # decoded resized payloads are 16x16 and match a direct resize
+    src = img.select("image_id", "bytes", "fmt").toPandas() \
+        .set_index("image_id")
+    for _, row in out.iloc[:10].iterrows():
+        got_px = codecs.decode(row["bytes"], "png")
+        assert got_px.shape == (16, 16, 3)
+        orig = codecs.decode(src.loc[row["image_id"], "bytes"],
+                             src.loc[row["image_id"], "fmt"])
+        np.testing.assert_array_equal(got_px,
+                                      codecs.area_resize(orig, 16, 16))
