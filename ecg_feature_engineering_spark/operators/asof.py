@@ -75,6 +75,13 @@ def asof_join(
     — matches farther than it are nulled.
     ``keep_match_ts``: if set, expose the matched right timestamp under this
     output column name (lineage/debug).
+
+    Tie contract: if the right side has MULTIPLE rows at the same
+    (by, ts), which one wins is unspecified (found by fuzzing,
+    tests/test_asof_fuzz.py). pandas resolves such ties by physical row
+    position, which has no distributed equivalent. Deduplicate the right
+    side on (by, ts) first (e.g. ``max_by`` per key) when duplicate
+    event timestamps are possible; all strategies then agree exactly.
     """
     by = [by] if isinstance(by, str) else list(by)
     right_on = right_on or on
