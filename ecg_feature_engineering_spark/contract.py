@@ -16,7 +16,7 @@ import os
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ecg_feature_engineering_spark.datagen import images as datagen
@@ -62,7 +62,18 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zpath = os.path.join(tempfile.gettempdir(),
                          "ecg_feature_engineering_spark_pyfiles.zip")
-    if not os.path.exists(zpath):
+    # Rebuild when any source file is newer than the zip — a stale cached
+    # zip would make executors silently run old kernel code after an edit.
+    src_mtime = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                src_mtime = max(src_mtime,
+                                os.path.getmtime(os.path.join(root, f)))
+    if (not os.path.exists(zpath)
+            or os.path.getmtime(zpath) < src_mtime):
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):
@@ -437,23 +448,43 @@ def q_cv(spark, sf_dir):
 
 
 @register("variability", """
-WITH d AS (
-  SELECT user_id, value,
-    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
-  FROM events)
+WITH s AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vl, ts, event_id
+  FROM events),
+d AS (
+  SELECT user_id, vl,
+    vl - lag(vl) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
+  FROM s)
 SELECT user_id,
-  round(sqrt(avg(value * value) - avg(value) * avg(value)), 6) AS sdnn,
-  sum(CASE WHEN abs(d1) > 15.0 THEN 1 ELSE 0 END) AS nn50,
-  round(sum(CASE WHEN abs(d1) > 15.0 THEN 1 ELSE 0 END) / count(d1), 6)
+  round(sqrt(sum(vl * vl) / count(*)
+             - (sum(vl) / count(*)) * (sum(vl) / count(*))) / 100, 6)
+    AS sdnn,
+  sum(CASE WHEN abs(d1) > 1500 THEN 1 ELSE 0 END) AS nn50,
+  round(sum(CASE WHEN abs(d1) > 1500 THEN 1 ELSE 0 END) / count(d1), 6)
     AS pnn50
 FROM d GROUP BY user_id
 """)
 def q_variability(spark, sf_dir):
-    """A9 — Variability SDNN/NN50/pNN50 (QRS_features.py:509-538)."""
+    """A9 — Variability SDNN/NN50/pNN50 (QRS_features.py:509-538).
+
+    Hash-hardened form: `value` has exactly 2 decimals in the testdata, so
+    all moments are computed from EXACT integer power sums over
+    vl = round(value*100) — order-independent, hence bit-identical between
+    Spark and the DuckDB oracle regardless of aggregation order (a float
+    sum's last-ulp noise can flip the 6th-decimal rounding; an int sum
+    can't). stats.variability_aggs stays the general-double API."""
     ev = _events(spark, sf_dir)
-    ev = windows.with_lag_diff(ev, "value", "user_id", _ORDER, 1, "d1")
+    ev = ev.withColumn("vl", F.round(F.col("value") * 100).cast("long"))
+    ev = windows.with_lag_diff(ev, "vl", "user_id", _ORDER, 1, "d1")
+    n = F.count(F.lit(1))
+    s1 = F.sum("vl")
+    s2 = F.sum(F.col("vl") * F.col("vl"))
+    nn50 = F.sum(F.when(F.abs(F.col("d1")) > 1500, 1).otherwise(0))
     out = ev.groupBy("user_id").agg(
-        *stats.variability_aggs("value", "d1", NN_THRESHOLD))
+        (F.sqrt(s2 / n - (s1 / n) * (s1 / n)) / 100).alias("sdnn"),
+        nn50.alias("nn50"),
+        (nn50 / F.count("d1")).alias("pnn50"),
+    )
     return _round(out, ["sdnn", "pnn50"])
 
 
@@ -910,10 +941,14 @@ WITH toks AS (
     regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
                           ' ') AS t
   FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id AS id,
     array_to_string(t[i:i+2], ' ') AS shingle
   FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+sh AS (  -- hot-shingle cap (df > 100 dropped), mirrors ngram_jaccard_pairs
+  SELECT id, shingle FROM sh0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100)),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
@@ -942,11 +977,69 @@ def q_minhash_lsh(spark, sf_dir):
                                    threshold=0.5)
 
 
-@register("simhash_near_dups")  # md5-kernel fingerprints — tests/ oracle
-def q_simhash(spark, sf_dir):
-    """SimHash near-dups, hamming <= 3 within 16-bit blocks (rows-only)."""
+# DuckDB twin of dedup.simhash64_relational: same md5 token hash, same
+# 64 conditional-sum bit votes (generated terms), bit 63 assembled as
+# min-long addition because DuckDB's 1<<63 overflows where Spark's
+# shiftleft wraps.
+_SIMHASH_ORACLE_CTE = r"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+    CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+  FROM toks WHERE length(tok) > 0),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM th GROUP BY doc_id),
+fp AS (
+  SELECT doc_id,
+    (CASE WHEN v63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)
+      + {bits} AS simhash
+  FROM votes),
+fpc AS (
+  SELECT d.doc_id, coalesce(fp.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id)
+""".format(
+    votes=",\n    ".join(
+        "sum(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END)"
+        " AS v{i}".format(
+            src="hi" if i >= 32 else "lo",
+            sh=i - 32 if i >= 32 else i, i=i)
+        for i in range(64)),
+    bits=" + ".join(
+        f"((CASE WHEN v{i} > 0 THEN 1 ELSE 0 END)::BIGINT << {i})"
+        for i in range(63)),
+)
+
+
+@register("simhash_fingerprints",
+          f"WITH {_SIMHASH_ORACLE_CTE} SELECT doc_id, simhash FROM fpc")
+def q_simhash_fingerprints(spark, sf_dir):
+    """SimHash 64-bit fingerprints per doc — relational JVM bit votes
+    (dedup.simhash64_relational); exact-int output so the driver
+    value-hashes it directly against the DuckDB md5 twin."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=3)
+    return dedup.simhash64_relational(d, "text", "doc_id")
+
+
+@register("simhash_near_dups", f"""
+WITH {_SIMHASH_ORACLE_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fpc a JOIN fpc b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def q_simhash(spark, sf_dir):
+    """SimHash near-dups, hamming <= 3. Spark: pigeonhole-bucketed on
+    16-bit blocks (exact for hamming<=3 — any qualifying pair shares a
+    block, so the bucketed plan finds the same pairs the oracle's
+    brute-force cross join does, without the O(n^2) pair space)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_near_dups(d, "text", "doc_id", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long"))
 
 
 @register("hash_split")  # xxhash64 — determinism asserted in tests/
@@ -1083,49 +1176,95 @@ def q_cdf_density(spark, sf_dir):
 
 @register("variability_full", """
 WITH t AS (
-  SELECT user_id, value, ts, event_id,
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vl, ts, event_id,
     row_number() OVER w AS rn, count(*) OVER (PARTITION BY user_id) AS n
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-trimmed AS (SELECT user_id, value, ts, event_id FROM t
+trimmed AS (SELECT user_id, vl, ts, event_id FROM t
             WHERE rn > 1 AND rn <= n - 1),
 d AS (
-  SELECT user_id, value, ts, event_id,
-    abs(value - lag(value) OVER w2) AS nn,
-    first_value(value) OVER wf AS fv,
-    last_value(value) OVER wf AS lv
+  SELECT user_id, vl, ts, event_id,
+    abs(vl - lag(vl) OVER w2) AS nn,
+    first_value(vl) OVER wf AS fv,
+    last_value(vl) OVER wf AS lv
   FROM trimmed
   WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id),
          wf AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
 p AS (
-  SELECT user_id, value, nn, fv, lv,
-    sqrt(nn * nn + pow(lead(nn) OVER
-      (PARTITION BY user_id ORDER BY ts, event_id), 2)) AS pair
+  SELECT user_id, vl, nn, fv, lv,
+    CAST(round(sqrt(nn * nn + pow(lead(nn) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id), 2)) * 1000) AS BIGINT)
+      AS pair_r
   FROM d)
 SELECT user_id,
-  round(sqrt(avg(value * value) - avg(value) * avg(value)), 6) AS sdnn,
-  sum(CASE WHEN nn > 15.0 THEN 1 ELSE 0 END) AS nn50,
-  round(sum(CASE WHEN nn > 15.0 THEN 1 ELSE 0 END) / count(value), 6)
+  round(sqrt(sum(vl * vl) / count(*)
+             - (sum(vl) / count(*)) * (sum(vl) / count(*))) / 100, 6)
+    AS sdnn,
+  sum(CASE WHEN nn > 1500 THEN 1 ELSE 0 END) AS nn50,
+  round(sum(CASE WHEN nn > 1500 THEN 1 ELSE 0 END) / count(vl), 6)
     AS pnn50,
-  round(CASE WHEN count(nn) - 1 <> 0 AND avg(value) <> 0 THEN
-    (sum(pair) / (count(nn) - 1)) / avg(value) ELSE 0.0 END, 6) AS stepping,
-  round(CASE WHEN (-min(fv) - 2 * min(lv) + 2 * sum(value)) <> 0 THEN
+  round(CASE WHEN count(nn) - 1 <> 0 AND sum(vl) <> 0 THEN
+    (sum(pair_r) / 1000.0 / (count(nn) - 1)) / (sum(vl) / count(vl))
+    ELSE 0.0 END, 6) AS stepping,
+  round(CASE WHEN (-min(fv) - 2 * min(lv) + 2 * sum(vl)) <> 0 THEN
     sqrt(sum(nn * nn) / (2 * count(nn))
-         - pow(sum(nn), 2) / (2 * pow(count(nn), 2)))
-    / ((-min(fv) - 2 * min(lv) + 2 * sum(value)) / (2 * count(nn)))
+         - (sum(nn) / count(nn)) * (sum(nn) / count(nn)) / 2)
+    / ((-min(fv) - 2 * min(lv) + 2 * sum(vl)) / (2 * count(nn)))
     ELSE 0.0 END, 6) AS dispersion
 FROM p GROUP BY user_id
 """)
 def q_variability_full(spark, sf_dir):
     """A9 complete — SDNN/NN50/pNN50 + Poincare Stepping & Dispersion on
-    the endpoint-trimmed series (QRS_features.py:509-538)."""
+    the endpoint-trimmed series (QRS_features.py:509-538).
+
+    Hash-hardened like `variability`: everything runs on vl =
+    round(value*100) exact integers. Scale cancels in stepping and
+    dispersion (both are ratios of same-unit quantities), so the values
+    equal the float formulas to ~1e-8 relative while every aggregate is an
+    order-independent integer sum. The one irrational per-row term — the
+    Poincare pair distance sqrt(nn_i^2 + nn_{i+1}^2) — is quantized to
+    round(pair*1000) BEFORE summation on BOTH sides, removing float-sum
+    order sensitivity there too (sqrt of a non-square int is irrational,
+    so the .5 rounding tie can't occur)."""
     ev = _events(spark, sf_dir)
     trimmed = windows.trim_endpoints(ev, "user_id", _ORDER)
-    prepped = stats.with_variability_inputs(trimmed, "value", "user_id",
-                                            _ORDER)
-    out = prepped.groupBy("user_id").agg(
-        *stats.variability_full_aggs("value", "nn", "nn_pair",
-                                     "first_value", "last_value", 15.0))
+    t = trimmed.withColumn("vl", F.round(F.col("value") * 100).cast("long"))
+    w = windows.entity_window("user_id", _ORDER)
+    full = w.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+    t = t.withColumn("nn", F.abs(F.col("vl") - F.lag("vl").over(w)))
+    nn_lead = F.lead("nn").over(w)
+    pair_r = F.round(
+        F.sqrt(F.col("nn") * F.col("nn") + nn_lead * nn_lead) * 1000
+    ).cast("long")
+    t = (t.withColumn("pair_r", pair_r)
+          .withColumn("fv", F.first("vl").over(full))
+          .withColumn("lv", F.last("vl").over(full)))
+    n_v = F.count(F.lit(1))
+    s1 = F.sum("vl")
+    s2 = F.sum(F.col("vl") * F.col("vl"))
+    n_nn = F.count("nn")
+    sum_nn = F.sum("nn")
+    sum_nn2 = F.sum(F.col("nn") * F.col("nn"))
+    nn50 = F.sum(F.when(F.col("nn") > 1500, 1).otherwise(0))
+    stepping = F.when(
+        (n_nn - 1 != 0) & (s1 != 0),
+        (F.sum("pair_r") / 1000.0 / (n_nn - 1)) / (s1 / n_v)
+    ).otherwise(F.lit(0.0))
+    disp_den_i = -F.min("fv") - 2 * F.min("lv") + 2 * s1
+    dispersion = F.when(
+        disp_den_i != 0,
+        F.sqrt(sum_nn2 / (2 * n_nn)
+               - (sum_nn / n_nn) * (sum_nn / n_nn) / 2)
+        / (disp_den_i / (2 * n_nn))
+    ).otherwise(F.lit(0.0))
+    out = t.groupBy("user_id").agg(
+        (F.sqrt(s2 / n_v - (s1 / n_v) * (s1 / n_v)) / 100).alias("sdnn"),
+        nn50.alias("nn50"),
+        (nn50 / n_v).alias("pnn50"),
+        stepping.alias("stepping"),
+        dispersion.alias("dispersion"),
+    )
     return _round(out, ["sdnn", "pnn50", "stepping", "dispersion"])
 
 
@@ -1145,11 +1284,11 @@ x AS (
   FROM trimmed JOIN med ON trimmed.user_id = med.user_id
   WINDOW w2 AS (PARTITION BY trimmed.user_id ORDER BY ts, event_id))
 SELECT user_id, round(avg(CASE WHEN
-    abs(value - m) / m <= 0.05 OR abs(value - 2 * m) / (2 * m) <= 0.05
-    OR abs(fwd - 2 * m) / (2 * m) <= 0.05
-    OR abs(fwd - 3 * m) / (3 * m) <= 0.05
-    OR abs(bwd - 2 * m) / (2 * m) <= 0.05
-    OR abs(bwd - 3 * m) / (3 * m) <= 0.05
+    abs(value - m) <= 0.05 * m OR abs(value - 2 * m) <= 0.05 * (2 * m)
+    OR abs(fwd - 2 * m) <= 0.05 * (2 * m)
+    OR abs(fwd - 3 * m) <= 0.05 * (3 * m)
+    OR abs(bwd - 2 * m) <= 0.05 * (2 * m)
+    OR abs(bwd - 3 * m) <= 0.05 * (3 * m)
   THEN 1 ELSE 0 END), 6) AS yuxi_ratio
 FROM x GROUP BY user_id
 """)
@@ -1249,9 +1388,12 @@ def q_scale_input(spark, sf_dir):
     """U9 — log-compress normalization around the non-zero mean
     (preprocess-300hz.py:405-422), fully relational (two-pass broadcast)."""
     ev = _events(spark, sf_dir)
+    # try_divide: an all-zero entity has 0 non-zero rows — null mean_nz
+    # (DuckDB's /0 result), which the CASE then passes through as `value`
     m = ev.groupBy("user_id").agg(
-        (F.sum(F.when(F.col("value") != 0, F.col("value")).otherwise(0.0))
-         / F.sum(F.when(F.col("value") != 0, 1).otherwise(0)))
+        F.try_divide(
+            F.sum(F.when(F.col("value") != 0, F.col("value")).otherwise(0.0)),
+            F.sum(F.when(F.col("value") != 0, 1).otherwise(0)))
         .alias("mean_nz"))
     v, mu = F.col("value"), F.col("mean_nz")
     scaled = F.when(
@@ -1275,6 +1417,46 @@ def q_balance_classes(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return splits.balance_classes(
         d, "lang", {"en": 1, "es": 3, "fr": 4, "de": 2}, default=5)
+
+
+@register("smooth_labels", """
+WITH c AS (SELECT unnest(generate_series(0, 4)) AS class_idx)
+SELECT doc_id, class_idx,
+  (CASE WHEN lang = (['en','es','fr','de','zh'])[class_idx + 1]
+        THEN 1 ELSE 0 END)
+    * (1 - 0.1::DOUBLE) + 0.1::DOUBLE / 5 AS y
+FROM documents CROSS JOIN c
+""")
+def q_smooth_labels(spark, sf_dir):
+    """P9 — label smoothing y*(1-f)+f/k on the one-hot lang vector
+    (challenge2020/utils/tools.py:206-224), exploded to scalar rows so the
+    driver can value-hash it. No rounding needed: both engines evaluate
+    the same double-literal expression on 0/1 inputs bit-identically."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = ["en", "es", "fr", "de", "zh"]
+    sm = splits.smooth_labels(splits.one_hot(F.col("lang"), langs), 0.1)
+    return d.select(
+        "doc_id", F.posexplode(sm).alias("class_idx", "y"))
+
+
+@register("seeded_shuffle", """
+SELECT o_orderkey,
+  row_number() OVER (
+    ORDER BY (o_orderkey * 2654435761 + 42) % 2147483647, o_orderkey)
+    AS pos
+FROM orders
+""")
+def q_seeded_shuffle(spark, sf_dir):
+    """O6 — deterministic seeded permutation (np.random.permutation,
+    preprocess-300hz.py:178). The engine's two-phase range-bucketed rank
+    (splits.seeded_shuffle — no single-reducer global sort) must reproduce
+    the oracle's global ORDER BY hash exactly; a portable multiplicative
+    hash (Knuth 2654435761) stands in for xxhash64 so DuckDB can replay
+    the same order."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    h = F.pmod(F.col("o_orderkey") * F.lit(2654435761) + F.lit(42),
+               F.lit(2_147_483_647))
+    return splits.seeded_shuffle(o, "o_orderkey", hash_expr=h, out="pos")
 
 
 @register("pivot_one_hot", """

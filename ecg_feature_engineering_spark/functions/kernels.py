@@ -323,6 +323,43 @@ def psnr_roundtrip(df, id_col: str = "image_id", bytes_col: str = "bytes",
 
 
 # ------------------------------------------------------------------ SampEn
+def _cheb_pair_counts(t: np.ndarray, m: int, r: float,
+                      block: int = 2048) -> tuple[int, int]:
+    """Blocked Chebyshev pair counting for SampEn: over all template pairs
+    (i < j) of the (k, m+1) template matrix ``t``, count B = pairs within
+    ``r`` on the FIRST m coords and A = pairs within ``r`` on all m+1
+    coords, in one sweep (A-templates extend B-templates by one coord, so
+    d_{m+1} = max(d_m, |Δcoord_m|) — no second pass).
+
+    Memory is bounded at block^2 * 8 bytes per tile (~32 MB at 2048)
+    regardless of k — the old full k×k×m broadcast block needed ~80 GB for
+    a single 100k-event entity, serializing one hot task and OOMing the
+    executor at scale. Same counts, tile by tile. Time stays O(k^2) per
+    entity (inherent to exact SampEn pair counting)."""
+    k = len(t)
+    b_cnt = a_cnt = 0
+    for i0 in range(0, k, block):
+        ai = t[i0:i0 + block]
+        for j0 in range(i0, k, block):
+            bj = t[j0:j0 + block]
+            if m == 0:
+                d = np.zeros((len(ai), len(bj)))
+            else:
+                d = np.abs(ai[:, None, 0] - bj[None, :, 0])
+                for c in range(1, m):
+                    np.maximum(d, np.abs(ai[:, None, c] - bj[None, :, c]),
+                               out=d)
+            d1 = np.maximum(d, np.abs(ai[:, None, m] - bj[None, :, m]))
+            if i0 == j0:
+                iu = np.triu_indices(len(ai), 1)
+                b_cnt += int(np.count_nonzero(d[iu] <= r))
+                a_cnt += int(np.count_nonzero(d1[iu] <= r))
+            else:
+                b_cnt += int(np.count_nonzero(d <= r))
+                a_cnt += int(np.count_nonzero(d1 <= r))
+    return b_cnt, a_cnt
+
+
 def sample_entropy_np(x: np.ndarray, m_max: int = 2, r: float | None = None
                       ) -> np.ndarray:
     """Sample entropy for m = 1..m_max (public Richman-Moorman definition):
@@ -330,7 +367,8 @@ def sample_entropy_np(x: np.ndarray, m_max: int = 2, r: float | None = None
     within Chebyshev distance <= r, B_m likewise for length m. r defaults to
     0.2 * population std (the reference's tolerance, HRV_features.py:132-134).
     Matches the reference's output patching: nan -> -2, inf -> -1
-    (HRV_features.py:135-139)."""
+    (HRV_features.py:135-139). Pair counting is blocked
+    (``_cheb_pair_counts``) — bounded memory per entity."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
     out = np.full(m_max, -2.0)
@@ -339,20 +377,12 @@ def sample_entropy_np(x: np.ndarray, m_max: int = 2, r: float | None = None
     if r is None:
         r = 0.2 * x.std()
 
-    def pair_count(m: int, k: int) -> int:
-        # pairwise Chebyshev matches among the first k length-m templates;
-        # k is bounded per entity so the (k,k) block is fine in one task
-        templ = np.lib.stride_tricks.sliding_window_view(x, m)[:k]
-        d = np.abs(templ[:, None, :] - templ[None, :, :]).max(axis=2)
-        iu = np.triu_indices(k, 1)
-        return int(np.count_nonzero(d[iu] <= r))
-
     for m in range(1, m_max + 1):
         # canonical Richman-Moorman: BOTH template sets have N-m elements
         # (length-m templates truncated by one), so SampEn(const) == 0
         k = n - m
-        b = pair_count(m, k)
-        a = pair_count(m + 1, k)
+        templ = np.lib.stride_tricks.sliding_window_view(x, m + 1)[:k]
+        b, a = _cheb_pair_counts(templ, m, r)
         if b == 0 or a == 0:
             out[m - 1] = -2.0 if b == 0 else -1.0  # nan / inf patch
         else:
@@ -377,20 +407,14 @@ def sample_entropy_qrs_np(x: np.ndarray, m_max: int = 3) -> np.ndarray:
     z = (x - x.mean()) / sd
     r = 0.2
 
-    def pair_count(m: int, k: int) -> int:
-        templ = np.lib.stride_tricks.sliding_window_view(z, m)[:k]
-        d = np.abs(templ[:, None, :] - templ[None, :, :]).max(axis=2)
-        iu = np.triu_indices(k, 1)
-        return int(np.count_nonzero(d[iu] <= r))
-
     for m in range(0, m_max + 1):
-        if m == 0:
-            b = n * (n - 1) // 2
-            a = pair_count(1, n)
-        else:
-            k = n - m
-            b = pair_count(m, k)
-            a = pair_count(m + 1, k)
+        # uniform over m: k = n - m templates of length m+1; B counts the
+        # first m coords (for m=0 that's the all-matching length-0
+        # convention, B = C(n, 2)), A counts all m+1. Blocked — bounded
+        # memory per entity (see _cheb_pair_counts).
+        k = n - m
+        templ = np.lib.stride_tricks.sliding_window_view(z, m + 1)[:k]
+        b, a = _cheb_pair_counts(templ, m, r)
         if b > 0 and a > 0:
             out[m] = -np.log(a / b)
     return out

@@ -82,15 +82,30 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int = 100) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
 
-    Plan: shingle-explode -> self-equijoin on shingle (the only shuffle; AQE
-    skew-join splits hot shingles) -> per-pair intersection counts -> sizes
-    joined back -> Jaccard. Emits (id_a, id_b, jaccard) with id_a < id_b.
+    Plan: shingle-explode -> hot-shingle cap -> self-equijoin on shingle
+    (the only big shuffle; AQE skew-join splits the residue) -> per-pair
+    intersection counts -> sizes joined back -> Jaccard.
+    Emits (id_a, id_b, jaccard) with id_a < id_b.
+
+    Hot-shingle cap: a shingle shared by d docs contributes O(d^2) join
+    rows — one boilerplate phrase in 10^6 docs is 10^12 rows, and AQE
+    spreads but cannot shrink that. Shingles with document frequency >
+    ``max_shingle_df`` are dropped BEFORE the join (one cheap pre-agg);
+    they carry no dedup signal (a near-universal shingle can't distinguish
+    near-dups). Jaccard is then computed over the surviving "informative"
+    shingles on both the intersection AND the size side, so the ratio
+    stays a true Jaccard of the capped shingle sets.
     """
     sh = word_shingles(df.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("id"), "shingle")
+    docfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df"))
+    sh = (sh.join(docfreq.where(F.col("__df") > max_shingle_df)
+                  .select("shingle"), "shingle", "left_anti"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -205,12 +220,66 @@ def simhash64(df: DataFrame, text_col: str = "text",
         run, schema=f"{id_col} {id_type}, simhash long")
 
 
+def simhash64_relational(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """JVM-side SimHash — the scale path (the ``simhash64`` Arrow kernel
+    is a per-token Python loop and stays as the test oracle; a pytest
+    asserts kernel == relational fingerprints).
+
+    Same definition as the kernel: md5-derived 64-bit token hash,
+    frequency-weighted ±1 votes per bit, sign → bit. Expressed fully
+    relationally: explode tokens, md5 → two 32-bit halves via conv
+    (each < 2^32, long-safe under ANSI), then ONE grouped aggregate with
+    64 conditional sums (map-side partial agg — one shuffle on the id).
+    Empty docs (no tokens) get fingerprint 0 like the kernel, via the
+    left join back to the doc list."""
+    import functools
+
+    toks = (
+        df.select(id_col, text_col)
+        .withColumn("tok", F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")))
+        .where(F.length("tok") > 0)
+    )
+    hx = F.md5(F.encode(F.col("tok"), "UTF-8"))
+    toks = toks.select(
+        id_col,
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def bit(i: int):
+        src = F.col("hi") if i >= 32 else F.col("lo")
+        return F.shiftright(src, i - 32 if i >= 32 else i).bitwiseAND(
+            F.lit(1))
+
+    votes = toks.groupBy(id_col).agg(*[
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"v{i}")
+        for i in range(64)
+    ])
+    fp = functools.reduce(lambda a, b: a.bitwiseOR(b), [
+        F.shiftleft(
+            F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+            .cast("long"), i)
+        for i in range(64)
+    ])
+    sig = votes.select(id_col, fp.alias("simhash"))
+    return (
+        df.select(id_col).join(sig, id_col, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0)).alias("simhash"))
+    )
+
+
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      method: str = "relational") -> DataFrame:
     """SimHash near-dups: bucket on 16-bit prefixes (4 rotations so any pair
     within hamming<=3 shares at least one exact 16-bit block — pigeonhole),
-    then verify hamming distance JVM-side with bit_count(xor)."""
-    sig = simhash64(df, text_col, id_col)
+    then verify hamming distance JVM-side with bit_count(xor).
+    ``method``: 'relational' (default, JVM bit votes) or 'kernel' (the
+    Arrow/Python oracle twin)."""
+    sig_fn = simhash64_relational if method == "relational" else simhash64
+    sig = sig_fn(df, text_col, id_col)
     blocks = F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftrightunsigned(F.col("simhash"), 16 * i)

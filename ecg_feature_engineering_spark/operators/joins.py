@@ -29,6 +29,7 @@ def interval_join(
     hi: str = "hi",
     bucket_seconds: float = 3600.0,
     how: str = "inner",
+    anchor_key: str | None = None,
 ) -> DataFrame:
     """Join every event row to every anchor interval (same ``by`` key) with
     ``anchors.lo <= events.ts <= anchors.hi``. Anchor columns are kept;
@@ -36,11 +37,32 @@ def interval_join(
 
     Implementation: bucketized equi-join (see module doc). One shuffle on
     (by, bucket); residual BETWEEN filter applied post-join.
+
+    ``how='left'`` keeps anchors whose intervals match no event (event
+    columns null) and requires ``anchor_key`` — a column unique per anchor
+    row — because outer semantics can't ride the bucketized join directly:
+    an anchor whose bucket-matched events all fail the BETWEEN residual
+    would be dropped, and an anchor spanning several empty buckets would
+    emit one null row per bucket. Instead: inner join + anti-join the
+    unmatched anchors back in.
     """
     by = [by] if isinstance(by, str) else list(by)
     ev_cols = [c for c in events.columns if c not in by]
     an_cols = [c for c in anchors.columns if c not in by]
     rename = {c: c + "_ev" for c in ev_cols if c in an_cols}
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join supports how='inner'|'left', got {how!r}")
+    if how == "left":
+        if anchor_key is None:
+            raise ValueError("interval_join(how='left') needs anchor_key "
+                             "(a column unique per anchor row)")
+        inner = interval_join(events, anchors, by, event_ts, lo, hi,
+                              bucket_seconds, "inner")
+        unmatched = anchors.join(
+            inner.select(*by, anchor_key).distinct(),
+            on=[*by, anchor_key], how="left_anti")
+        return inner.unionByName(unmatched, allowMissingColumns=True)
 
     b_lo = F.floor(_sec(F.col(lo)) / bucket_seconds).cast("long")
     b_hi = F.floor(_sec(F.col(hi)) / bucket_seconds).cast("long")
@@ -55,8 +77,8 @@ def interval_join(
     ets = rename.get(event_ts, event_ts)
     cond = (F.col(ets) >= F.col(lo)) & (F.col(ets) <= F.col(hi))
     return (
-        a.join(e, on=[*by, "__bucket"], how=how)
-        .where(cond if how == "inner" else (cond | F.col(ets).isNull()))
+        a.join(e, on=[*by, "__bucket"], how="inner")
+        .where(cond)
         .drop("__bucket")
     )
 

@@ -8,7 +8,7 @@ hash bucketing; the 6x-duplicated comma-list label parser
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,8 +76,12 @@ def balance_classes(df: DataFrame, label_col: str,
         cond = lab == F.lit(k)
         fac = F.when(cond, F.lit(v)) if fac is None else fac.when(cond, v)
     fac = F.lit(default) if fac is None else fac.otherwise(F.lit(default))
+    # factor 0 must DROP the row — a bare sequence(1, 0) steps -1 and
+    # yields [1, 0] (two copies); guard with an empty array instead.
+    copies = F.when(fac >= 1, F.sequence(F.lit(1), fac)) \
+              .otherwise(F.array().cast("array<int>"))
     return (
-        df.withColumn("__copy", F.explode(F.sequence(F.lit(1), fac)))
+        df.withColumn("__copy", F.explode(copies))
         .drop("__copy")
     )
 
@@ -97,6 +101,57 @@ def pivot_one_hot(df: DataFrame, id_col: str, label_col: str,
         id_col,
         *[F.coalesce(F.col(str(v)), F.lit(0)).alias(f"is_{v}")
           for v in values],
+    )
+
+
+def smooth_labels(onehot: Column, factor: float) -> Column:
+    """P9 — label smoothing over a one-hot array column:
+    ``y*(1-f) + f/k`` per element (challenge2020/utils/tools.py:206-224,
+    the re-Inception smoothing). k is the array length (dynamic, so the
+    same expression serves any label arity)."""
+    if not 0 <= factor <= 1:
+        raise ValueError(f"invalid label smoothing factor: {factor}")
+    keep = 1 - factor  # computed driver-side, one double literal in the plan
+    return F.transform(
+        onehot,
+        lambda x: x * F.lit(keep) + F.lit(factor) / F.size(onehot))
+
+
+def seeded_shuffle(df: DataFrame, id_col: str, seed: int = 42,
+                   out: str = "pos", n_buckets: int = 1024,
+                   hash_expr: Column | None = None) -> DataFrame:
+    """O6 — deterministic seeded permutation (np.random.permutation /
+    random.shuffle analog: preprocess-300hz.py:178, split_data.py:17-20),
+    reproducible under repartitioning and reruns because the order derives
+    from a keyed hash, not RNG state.
+
+    Scale shape: a global ``row_number() OVER (ORDER BY hash)`` is a
+    single-reducer sort. Instead the hash range is cut into ``n_buckets``
+    range buckets (bucket id is MONOTONE in the hash, so bucket-local ranks
+    plus bucket offsets reproduce the exact global hash order): one small
+    aggregate for bucket counts, a prefix sum over that tiny table,
+    broadcast back, and a per-bucket window — every stage partitions.
+
+    ``hash_expr`` overrides the default ``xxhash64`` order with any
+    integer expression in [0, 2^31) (e.g. a multiplicative hash portable
+    to SQL oracles)."""
+    h = hash_expr if hash_expr is not None else F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2_147_483_647))
+    df = df.withColumn("__h", h)
+    df = df.withColumn(
+        "__b",
+        F.floor(F.col("__h") * n_buckets / F.lit(2_147_483_647))
+        .cast("long"))
+    counts = df.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__off"))
+    w = Window.partitionBy("__b").orderBy("__h", id_col)
+    return (
+        df.join(F.broadcast(offsets), "__b")
+        .withColumn(out, (F.col("__off") + F.row_number().over(w))
+                    .cast("long"))
+        .drop("__h", "__b", "__off")
     )
 
 

@@ -94,8 +94,10 @@ def hrv_aggs(value: str = "value", diff: str = "value_diff1",
 
 
 def rdensity(sig_len: Column, fs: Column, n_peaks: Column) -> Column:
-    """(count+1)/sig_len*fs (HRV_features.py:121-123)."""
-    return (n_peaks + 1) / sig_len * fs
+    """(count+1)/sig_len*fs (HRV_features.py:121-123). try_divide: a
+    single-event entity has sig_len 0 — yield null (DuckDB's /0 result),
+    not an ANSI DIVIDE_BY_ZERO abort."""
+    return F.try_divide(n_peaks + 1, sig_len) * fs
 
 
 def basic_stat_aggs(value: str = "value", prefix: str = "") -> list[Column]:
@@ -262,7 +264,11 @@ def qrs_yuxi(df: DataFrame, value: str = "value", by="entity_id",
     m = F.col("__med")
 
     def near(x, mult):
-        return F.abs(x - mult * m) / (mult * m) <= tol
+        # multiplicative form of |x - mult*m| / (mult*m) <= tol: identical
+        # for m > 0 and ANSI-safe at m == 0 (no DIVIDE_BY_ZERO abort; a
+        # zero median matches only exact zeros, false for negative m —
+        # same as the division form's NULL→unmatched in the oracle)
+        return F.abs(x - mult * m) <= tol * mult * m
 
     fwd = F.coalesce(F.lag(value).over(w) + v, v)
     bwd = F.coalesce(v + F.lead(value).over(w), v)

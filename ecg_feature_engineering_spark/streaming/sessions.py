@@ -60,7 +60,10 @@ def streaming_running_stats(events: DataFrame, by: str = "user_id",
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = f"{by} long, n long, total double, mean double"
+    # derive the key type from the input schema — hardcoding long breaks
+    # string entity keys (the engine's default elsewhere)
+    key_type = events.schema[by].dataType.simpleString()
+    out_schema = f"{by} {key_type}, n long, total double, mean double"
     state_schema = "n long, total double"
 
     def update(key, pdfs, state):

@@ -1,0 +1,177 @@
+"""Round-2 additions: relational SimHash (kernel parity), blocked SampEn,
+hot-shingle cap, interval_join left semantics, balance factor-0, label
+smoothing, seeded shuffle, worker-zip staleness."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ecg_feature_engineering_spark import contract
+from ecg_feature_engineering_spark.functions import kernels
+from ecg_feature_engineering_spark.operators import dedup, joins, splits
+
+
+# ------------------------------------------------------------ SimHash
+def test_simhash_relational_equals_kernel(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rel = (dedup.simhash64_relational(docs, "text", "doc_id")
+           .toPandas().set_index("doc_id")["simhash"].sort_index())
+    ker = (dedup.simhash64(docs, "text", "doc_id")
+           .toPandas().set_index("doc_id")["simhash"].sort_index())
+    assert (rel == ker).all()
+
+
+def test_simhash_relational_empty_doc(spark):
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["", "hello world"]}))
+    got = dedup.simhash64_relational(d).toPandas().set_index("doc_id")
+    assert got.loc[1, "simhash"] == 0
+    assert got.loc[2, "simhash"] != 0
+
+
+def test_simhash_near_dups_methods_agree(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rel = dedup.simhash_near_dups(docs, method="relational").toPandas()
+    ker = dedup.simhash_near_dups(docs, method="kernel").toPandas()
+    key = ["id_a", "id_b", "hamming"]
+    assert (sorted(map(tuple, rel[key].to_numpy()))
+            == sorted(map(tuple, ker[key].to_numpy())))
+
+
+# ------------------------------------------------------------ blocked SampEn
+def test_cheb_pair_counts_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    for n, m, block in [(40, 1, 8), (61, 2, 13), (100, 2, 7), (33, 0, 5)]:
+        x = rng.normal(size=n)
+        r = 0.2 * x.std()
+        k = n - m
+        t = np.lib.stride_tricks.sliding_window_view(x, m + 1)[:k]
+        b_got, a_got = kernels._cheb_pair_counts(t, m, r, block=block)
+        # brute force
+        b_ref = a_ref = 0
+        for i in range(k):
+            for j in range(i + 1, k):
+                dm = np.abs(t[i, :m] - t[j, :m]).max() if m else 0.0
+                d1 = max(dm, abs(t[i, m] - t[j, m]))
+                b_ref += dm <= r
+                a_ref += d1 <= r
+        assert (b_got, a_got) == (b_ref, a_ref)
+
+
+def test_sample_entropy_blocked_large_entity_no_oom():
+    # the old full k x k x m broadcast for n=20k would allocate
+    # 20k*20k*3*8 ≈ 9.6 GB; the blocked version stays in ~32 MB tiles
+    rng = np.random.default_rng(1)
+    x = np.cumsum(rng.normal(size=20_000))
+    out = kernels.sample_entropy_np(x, m_max=2)
+    assert np.isfinite(out).all() and (out > 0).all()
+
+
+# ------------------------------------------------------------ shingle cap
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # 30 docs all share one boilerplate 3-gram; two genuine near-dup docs
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"unique text number {i} {boiler}") for i in range(30)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog"),
+             (101, "the quick brown fox jumps over the lazy cat")]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.4,
+                                    max_shingle_df=10).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (100, 101) in pairs          # genuine near-dup survives the cap
+    # boilerplate-only overlaps are gone: no pair among the 30 unique docs
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+
+
+# ------------------------------------------------------------ interval_join
+def test_interval_join_left_keeps_empty_anchors(spark):
+    ev = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a"] * 3,
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:30",
+                              "2024-01-01 11:00"]),
+        "value": [1.0, 2.0, 3.0]}))
+    an = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a", "a", "b"],
+        "anchor_id": [1, 2, 3],
+        "lo": pd.to_datetime(["2024-01-01 10:00", "2024-01-02 00:00",
+                              "2024-01-01 10:00"]),
+        # anchor 2 spans many empty hourly buckets; anchor 3 has no entity
+        "hi": pd.to_datetime(["2024-01-01 10:45", "2024-01-02 23:00",
+                              "2024-01-01 12:00"])}))
+    got = joins.interval_join(ev, an, how="left", anchor_key="anchor_id",
+                              bucket_seconds=3600.0).toPandas()
+    by_anchor = got.groupby("anchor_id").size().to_dict()
+    assert by_anchor == {1: 2, 2: 1, 3: 1}  # one null row per empty anchor
+    assert got[got.anchor_id == 2]["value"].isna().all()
+    assert got[got.anchor_id == 3]["value"].isna().all()
+    with pytest.raises(ValueError):
+        joins.interval_join(ev, an, how="left")   # anchor_key required
+    with pytest.raises(ValueError):
+        joins.interval_join(ev, an, how="full")
+
+
+# ------------------------------------------------------------ balance 0
+def test_balance_classes_factor_zero_drops(spark):
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["en", "es", "fr"]}))
+    got = splits.balance_classes(
+        d, "lang", {"en": 0, "es": 2}, default=1).toPandas()
+    counts = got.groupby("lang").size().to_dict()
+    assert counts == {"es": 2, "fr": 1}  # en dropped, not duplicated
+
+
+# ------------------------------------------------------------ smoothing
+def test_smooth_labels_values(spark):
+    d = spark.createDataFrame(pd.DataFrame({"lang": ["en", "zz"]}))
+    sm = d.select(splits.smooth_labels(
+        splits.one_hot(F.col("lang"), ["en", "es"]), 0.2).alias("y"))
+    got = [list(r["y"]) for r in sm.collect()]
+    assert np.allclose(got[0], [0.8 + 0.1, 0.1])  # one-hot hit
+    assert np.allclose(got[1], [0.1, 0.1])        # unknown label: uniform
+    with pytest.raises(ValueError):
+        splits.smooth_labels(F.col("y"), 1.5)
+
+
+# ------------------------------------------------------------ shuffle
+def test_seeded_shuffle_is_permutation_and_matches_global_sort(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    got = splits.seeded_shuffle(df, "k", seed=7, n_buckets=32).toPandas()
+    assert sorted(got["pos"]) == list(range(1, 5001))
+    # two-phase bucketed rank == the single-reducer global sort it replaces
+    h = F.pmod(F.xxhash64(F.col("k"), F.lit(7)), F.lit(2_147_483_647))
+    ref = (df.withColumn("__h", h)
+           .withColumn("pos", F.row_number().over(
+               Window.orderBy("__h", "k")))
+           .drop("__h").toPandas())
+    merged = got.merge(ref, on="k", suffixes=("_got", "_ref"))
+    assert (merged["pos_got"] == merged["pos_ref"]).all()
+    # deterministic across reruns / repartitioning
+    again = splits.seeded_shuffle(df.repartition(13), "k", seed=7,
+                                  n_buckets=32).toPandas()
+    m2 = got.merge(again, on="k", suffixes=("_a", "_b"))
+    assert (m2["pos_a"] == m2["pos_b"]).all()
+    # a different seed permutes differently
+    other = splits.seeded_shuffle(df, "k", seed=8, n_buckets=32).toPandas()
+    m3 = got.merge(other, on="k", suffixes=("_a", "_b"))
+    assert (m3["pos_a"] != m3["pos_b"]).any()
+
+
+# ------------------------------------------------------------ worker zip
+def test_worker_zip_rebuilt_when_stale(spark):
+    import tempfile
+    import time
+
+    contract.ensure_workers_can_import(spark)
+    zpath = os.path.join(tempfile.gettempdir(),
+                         "ecg_feature_engineering_spark_pyfiles.zip")
+    assert os.path.exists(zpath)
+    os.utime(zpath, (1, 1))  # pretend the zip predates every source edit
+    contract._SHIPPED.clear()
+    contract.ensure_workers_can_import(spark)
+    assert os.path.getmtime(zpath) > time.time() - 60  # rebuilt fresh
