@@ -25,6 +25,7 @@ from ecg_feature_engineering_spark.operators import (
     asof,
     dedup,
     joins,
+    metrics,
     similarity,
     splits,
     stats,
@@ -1114,6 +1115,137 @@ def q_decode_stats(spark, sf_dir):
     out = kernels.decode_stats(img, keep=["image_id"])
     return _round(out, ["px_mean", "px_std", "luma_mean", "luma_std",
                         "r_mean", "g_mean", "b_mean"])
+
+
+# Deterministic multi-label predictions table shared by the U11 metric
+# queries — both engines derive identical (rec, class, label, output, prob)
+# rows from `documents` via portable integer arithmetic, so the metrics
+# themselves are what the oracle certifies.
+_PREDS_SQL = """
+preds AS (
+  SELECT doc_id AS rec_id, k.class_idx,
+    CASE WHEN lang = (['en','es','fr','de','zh'])[k.class_idx + 1]
+           OR (doc_id + k.class_idx) % 7 = 0 THEN 1 ELSE 0 END AS label,
+    CASE WHEN ((doc_id * 2654435761 + k.class_idx * 40503 + 17) % 1000)
+              / 1000.0 >= 0.5 THEN 1 ELSE 0 END AS output,
+    ((doc_id * 2654435761 + k.class_idx * 40503 + 17) % 1000) / 1000.0
+      AS prob
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS class_idx) k)
+"""
+
+
+def _predictions(spark, sf_dir) -> DataFrame:
+    langs = ["en", "es", "fr", "de", "zh"]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    p = d.select("doc_id", "lang",
+                 F.explode(F.sequence(F.lit(0), F.lit(4))).alias("class_idx"))
+    lang_arr = F.array(*[F.lit(x) for x in langs])
+    label = ((F.col("lang") == lang_arr[F.col("class_idx")])
+             | ((F.col("doc_id") + F.col("class_idx")) % 7 == 0))
+    prob = ((F.col("doc_id") * F.lit(2654435761)
+             + F.col("class_idx") * 40503 + 17) % 1000) / F.lit(1000.0)
+    return p.select(
+        F.col("doc_id").alias("rec_id"), "class_idx",
+        label.cast("int").alias("label"),
+        (prob >= 0.5).cast("int").alias("output"),
+        prob.alias("prob"))
+
+
+@register("beta_scores", f"""
+WITH {_PREDS_SQL},
+nl AS (SELECT *, sum(label) OVER (PARTITION BY rec_id) AS num_labels
+       FROM preds),
+ct AS (
+  SELECT class_idx,
+    sum(CASE WHEN label=1 AND output=1 THEN 1.0::DOUBLE/num_labels
+             ELSE 0 END) AS tp,
+    sum(CASE WHEN label=0 AND output=1 THEN 1.0::DOUBLE/num_labels
+             ELSE 0 END) AS fp,
+    sum(CASE WHEN label=1 AND output=0 THEN 1.0::DOUBLE/num_labels
+             ELSE 0 END) AS fn,
+    sum(CASE WHEN label=0 AND output=0 THEN 1.0::DOUBLE/num_labels
+             ELSE 0 END) AS tn
+  FROM nl GROUP BY class_idx)
+SELECT class_idx, round(tp, 6) AS tp, round(fp, 6) AS fp,
+  round(fn, 6) AS fn, round(tn, 6) AS tn,
+  round(CASE WHEN (5 * tp + 4 * fn + fp) <> 0
+             THEN 5 * tp / (5 * tp + 4 * fn + fp)
+             ELSE CAST(1 AS DOUBLE) END, 6) AS fbeta,
+  round(CASE WHEN (tp + fp + 2 * fn) <> 0 THEN tp / (tp + fp + 2 * fn)
+             ELSE CAST(1 AS DOUBLE) END, 6) AS gbeta,
+  round(CASE WHEN (tp + fp + fn + tn) <> 0
+             THEN (tp + tn) / (tp + fp + fn + tn)
+             ELSE CAST(1 AS DOUBLE) END, 6) AS accuracy,
+  round(CASE WHEN (2 * tp + fp + fn) <> 0 THEN 2 * tp / (2 * tp + fp + fn)
+             ELSE CAST(1 AS DOUBLE) END, 6) AS fmeasure
+FROM ct
+""")
+def q_beta_scores(spark, sf_dir):
+    """U11 — per-class challenge beta scores (xgboost_clf.py:29-101):
+    1/num_labels-weighted contingency + Fbeta(2)/Gbeta/accuracy/F-measure,
+    as one window + one grouped aggregate. Contingency contributions are
+    dyadic (num_labels in {1,2}), so the sums hash deterministically."""
+    per = metrics.beta_scores(_predictions(spark, sf_dir), beta=2.0)
+    return _round(per, ["tp", "fp", "fn", "tn", "fbeta", "gbeta",
+                        "accuracy", "fmeasure"])
+
+
+@register("auc_scores", f"""
+WITH {_PREDS_SQL},
+tot AS (SELECT class_idx, sum(label) AS P, sum(1 - label) AS N
+        FROM preds GROUP BY class_idx),
+g AS (SELECT class_idx, prob, sum(label) AS pos, sum(1 - label) AS neg
+      FROM preds WHERE prob > 0 GROUP BY class_idx, prob),
+cum AS (
+  SELECT class_idx, prob, sum(pos) OVER w AS tp, sum(neg) OVER w AS fp
+  FROM g WINDOW w AS (PARTITION BY class_idx ORDER BY prob DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+r AS (
+  SELECT cum.class_idx, prob,
+    CASE WHEN P > 0 THEN tp / P ELSE CAST(1 AS DOUBLE) END AS tpr,
+    CASE WHEN N > 0 THEN (N - fp) / N ELSE CAST(1 AS DOUBLE) END AS tnr,
+    CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
+         ELSE CAST(1 AS DOUBLE) END AS ppv
+  FROM cum JOIN tot ON cum.class_idx = tot.class_idx),
+seg AS (
+  SELECT class_idx,
+    0.5 * (tpr - coalesce(lag(tpr) OVER w2, 0))
+        * (tnr + coalesce(lag(tnr) OVER w2, 1)) AS roc,
+    (tpr - coalesce(lag(tpr) OVER w2, 0)) * ppv AS prc
+  FROM r WINDOW w2 AS (PARTITION BY class_idx ORDER BY prob DESC))
+SELECT class_idx, round(sum(roc), 6) AS auroc, round(sum(prc), 6) AS auprc
+FROM seg GROUP BY class_idx
+""")
+def q_auc_scores(spark, sf_dir):
+    """U11 — per-class AUROC/AUPRC by the reference's threshold sweep
+    (xgboost_clf.py:104-209) as a window cumsum over distinct thresholds
+    (virtual leading threshold 1 via lag defaults; threshold 0 dropped)."""
+    per = metrics.auc_scores(_predictions(spark, sf_dir))
+    return _round(per, ["auroc", "auprc"])
+
+
+@register("long_features_parity")  # composite of oracle-backed families;
+def q_long_features_parity(spark, sf_dir):  # arity contract in tests/
+    """LONG block with the reference's duplicated-column quirk replicated
+    (LONG_features.py:265-281: FFTBandPower x3, zigzag x2) — output arity
+    matches LONG_FEATURE.csv (~102 cols/lead). Values of the dup columns
+    are identical copies; each underlying family is separately
+    oracle-backed (long_stats, crossing_count, autocorr, zigzag,
+    crossing_widths, fft_features, wavelet_stats)."""
+    from ecg_feature_engineering_spark.plans import long_block
+    ev = _events(spark, sf_dir)
+    out = long_block.long_features(ev, by="user_id", fs=1.0, parity=True)
+    return _round(out, [c for c in out.columns if c != "user_id"])
+
+
+@register("deep_features")  # seeded-MLP forward pass — numpy oracle in tests/
+def q_deep_features(spark, sf_dir):
+    """U8 — broadcast-weights batch inference: 9-dim deep-feature vector
+    per image (get_model.py:27-32), Arrow-batched matmul kernel."""
+    img = _images(spark)
+    out = kernels.predict_batch(img, keep=["image_id"])
+    return _round(out, [f"d{i}" for i in range(1, 10)])
 
 
 @register("image_phash_check")

@@ -689,3 +689,79 @@ def anchor_fiducials_kernel(events, anchors, by: str = "entity_id",
         .cogroup(events.select(by, event_ts, value).groupBy(by))
         .applyInPandas(run, schema=schema)
     )
+
+
+# --------------------------------------------------- U8 batch inference
+def mlp_weights(seed: int = 7, d_in: int = 256, d_hidden: int = 32,
+                d_out: int = 9) -> dict[str, np.ndarray]:
+    """Deterministic seeded weights for the stand-in deep-feature model —
+    the graft analog of the reference's trained InceptionTime checkpoint
+    (get_model.py:11-17 loads best_model.hdf5; no trained weights ship
+    with the engine, so a fixed-seed Xavier init plays that role: the
+    *pipeline* — broadcast weights, Arrow-batched forward pass, 9-dim
+    output joined into the feature matrix — is the thing under test)."""
+    rng = np.random.default_rng(seed)
+    return {
+        "w1": rng.normal(0, (2.0 / (d_in + d_hidden)) ** 0.5,
+                         (d_in, d_hidden)),
+        "b1": np.zeros(d_hidden),
+        "w2": rng.normal(0, (2.0 / (d_hidden + d_out)) ** 0.5,
+                         (d_hidden, d_out)),
+        "b2": np.zeros(d_out),
+    }
+
+
+def mlp_forward_np(x: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
+    """Batched forward pass: tanh hidden layer + softmax head — the
+    model.predict analog (get_model.py:32). x: (n, d_in) -> (n, d_out)."""
+    h = np.tanh(x @ w["w1"] + w["b1"])
+    logits = h @ w["w2"] + w["b2"]
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def predict_batch(df, weights: dict[str, np.ndarray] | None = None,
+                  id_col: str = "image_id", bytes_col: str = "bytes",
+                  fmt_col: str = "fmt", keep: list[str] | None = None,
+                  grid: int = 16):
+    """U8 — broadcast-weights batch model inference (the predict_batch_udf
+    pattern): decode -> area-mean luma grid (grid x grid, the fixed-length
+    model input, resample.py's common-clock analog) -> normalized flatten ->
+    numpy MLP forward -> 9 deep-feature columns D1..D9
+    (get_model.py:27-32; consumed by the E3 matrix join,
+    xgboost_clf.py:11-15).
+
+    Scale shape: weights are broadcast ONCE via sparkContext.broadcast (not
+    re-pickled per task closure), the forward pass is two matmuls per Arrow
+    batch (vectorized across the batch — never per-row Python), and the
+    kernel runs on the scan partitions with no shuffle. The payload column
+    is pruned right after decode."""
+    keep = keep if keep is not None else [id_col]
+    if weights is None:
+        weights = mlp_weights(d_in=grid * grid)
+    bc = df.sparkSession.sparkContext.broadcast(weights)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (", ".join(f"{c} {types[c]}" for c in keep)
+                  + ", " + ", ".join(f"d{i + 1} double" for i in range(
+                      weights["b2"].shape[0])))
+    n_out = weights["b2"].shape[0]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bc.value
+        for b in batches:
+            n = len(b)
+            x = np.empty((n, grid * grid))
+            data_col = b[bytes_col].to_numpy()
+            fmts = b[fmt_col].to_numpy()
+            for i in range(n):
+                px = _decode_one(data_col[i], fmts[i]).astype(np.float64)
+                luma = codecs.area_resize(px, grid, grid) @ _LUMA
+                x[i] = (luma.ravel() / 255.0) - 0.5
+            y = mlp_forward_np(x, w)
+            out = b[keep].copy()
+            for j in range(n_out):
+                out[f"d{j + 1}"] = y[:, j]
+            yield out
+
+    return df.select(*dict.fromkeys([*keep, bytes_col, fmt_col])) \
+        .mapInPandas(run, schema=out_schema)

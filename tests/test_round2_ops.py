@@ -175,3 +175,138 @@ def test_worker_zip_rebuilt_when_stale(spark):
     contract._SHIPPED.clear()
     contract.ensure_workers_can_import(spark)
     assert os.path.getmtime(zpath) > time.time() - 60  # rebuilt fresh
+
+
+# ------------------------------------------------------------ U8 inference
+def test_predict_batch_matches_numpy_forward(spark):
+    from ecg_feature_engineering_spark.datagen import images as datagen
+    from ecg_feature_engineering_spark.datagen import codecs
+
+    img = datagen.images_df(spark, 24, seed=42)
+    got = (kernels.predict_batch(img, keep=["image_id"]).toPandas()
+           .set_index("image_id").sort_index())
+    # independent forward pass on the same decoded grids
+    w = kernels.mlp_weights(d_in=256)
+    rows = img.select("image_id", "bytes", "fmt").toPandas()
+    x = np.stack([
+        (codecs.area_resize(codecs.decode(bytes(r["bytes"]), r["fmt"])
+                            .astype(np.float64), 16, 16)
+         @ np.array([0.299, 0.587, 0.114])).ravel() / 255.0 - 0.5
+        for _, r in rows.iterrows()])
+    h = np.tanh(x @ w["w1"] + w["b1"])
+    logits = h @ w["w2"] + w["b2"]
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    expect = e / e.sum(axis=1, keepdims=True)
+    got_m = got.loc[rows["image_id"], [f"d{i}" for i in range(1, 10)]].to_numpy()
+    assert np.allclose(got_m, expect, atol=1e-12)
+    assert np.allclose(got_m.sum(axis=1), 1.0)  # softmax rows
+
+
+# ------------------------------------------------------------ U11 metrics
+def _metric_fixture(spark):
+    rng = np.random.default_rng(5)
+    n, k = 120, 4
+    labels = (rng.random((n, k)) < 0.3).astype(int)
+    labels[labels.sum(axis=1) == 0, 0] = 1  # every record has >= 1 label
+    probs = np.round(rng.random((n, k)), 3)
+    outputs = (probs >= 0.5).astype(int)
+    rows = [(i, j, int(labels[i, j]), int(outputs[i, j]), float(probs[i, j]))
+            for i in range(n) for j in range(k)]
+    pdf = pd.DataFrame(rows, columns=["rec_id", "class_idx", "label",
+                                      "output", "prob"])
+    return spark.createDataFrame(pdf), labels, outputs, probs
+
+
+def _beta_score_ref(labels, outputs, beta, k):
+    # published PhysioNet/CinC challenge macro scoring formula
+    # (reference xgboost_clf.py:29-101), reimplemented independently
+    n = len(labels)
+    acc = fme = fb = gb = 0.0
+    for j in range(k):
+        tp = fp = fn = tn = 0.0
+        for i in range(n):
+            nl = labels[i].sum()
+            if labels[i][j] and outputs[i][j]:
+                tp += 1 / nl
+            elif not labels[i][j] and outputs[i][j]:
+                fp += 1 / nl
+            elif labels[i][j] and not outputs[i][j]:
+                fn += 1 / nl
+            else:
+                tn += 1 / nl
+        b2 = beta ** 2
+        fb += ((1 + b2) * tp / ((1 + b2) * tp + b2 * fn + fp)
+               if (1 + b2) * tp + b2 * fn + fp else 1.0)
+        gb += tp / (tp + fp + beta * fn) if tp + fp + beta * fn else 1.0
+        acc += (tp + tn) / (tp + fp + fn + tn) if tp + fp + fn + tn else 1.0
+        fme += 2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else 1.0
+    return acc / k, fme / k, fb / k, gb / k
+
+
+def _auc_ref(labels, probs, k):
+    # published challenge AUROC (trapezoid under TPR/TNR) and AUPRC
+    # (right-step under TPR/PPV) with the virtual threshold-1 row
+    n = len(labels)
+    aurocs, auprcs = [], []
+    for j in range(k):
+        th = np.unique(probs[:, j])[::-1]
+        if th[0] != 1:
+            th = np.insert(th, 0, 1)
+        if th[-1] == 0:
+            th = th[:-1]
+        P = labels[:, j].sum()
+        N = n - P
+        tpr_l, tnr_l, ppv_l = [], [], []
+        for t in th:
+            tp = int(((probs[:, j] >= t) & (labels[:, j] == 1)).sum())
+            fp = int(((probs[:, j] >= t) & (labels[:, j] == 0)).sum())
+            tpr_l.append(tp / P if P else 1.0)
+            tnr_l.append((N - fp) / N if N else 1.0)
+            ppv_l.append(tp / (tp + fp) if tp + fp else 1.0)
+        roc = prc = 0.0
+        for a in range(len(th) - 1):
+            roc += 0.5 * (tpr_l[a + 1] - tpr_l[a]) * (tnr_l[a + 1] + tnr_l[a])
+            prc += (tpr_l[a + 1] - tpr_l[a]) * ppv_l[a + 1]
+        aurocs.append(roc)
+        auprcs.append(prc)
+    return np.array(aurocs), np.array(auprcs)
+
+
+def test_beta_scores_match_reference_formula(spark):
+    from ecg_feature_engineering_spark.operators import metrics
+
+    preds, labels, outputs, _ = _metric_fixture(spark)
+    got = metrics.macro_beta_scores(preds, beta=2.0).collect()[0]
+    acc, fme, fb, gb = _beta_score_ref(labels, outputs, 2.0, 4)
+    assert np.allclose(
+        [got["accuracy"], got["f_measure"], got["f_beta"], got["g_beta"]],
+        [acc, fme, fb, gb], atol=1e-12)
+
+
+def test_auc_scores_match_reference_formula(spark):
+    from ecg_feature_engineering_spark.operators import metrics
+
+    preds, labels, _, probs = _metric_fixture(spark)
+    got = (metrics.auc_scores(preds).toPandas()
+           .set_index("class_idx").sort_index())
+    roc, prc = _auc_ref(labels, probs, 4)
+    assert np.allclose(got["auroc"].to_numpy(), roc, atol=1e-12)
+    assert np.allclose(got["auprc"].to_numpy(), prc, atol=1e-12)
+
+
+# ------------------------------------------------------------ LONG parity
+def test_long_features_parity_arity_and_dup_values(spark, sf_dir):
+    from ecg_feature_engineering_spark.plans import long_block
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "ts", "user_id", "value"))
+    out = long_block.long_features(ev, by="user_id", fs=1.0, parity=True)
+    assert out.columns == long_block.expected_columns("user_id", parity=True)
+    base = long_block.long_features(ev, by="user_id", fs=1.0, parity=False)
+    assert base.columns == long_block.expected_columns("user_id",
+                                                       parity=False)
+    pdf = out.limit(3).toPandas()
+    for c in [f"band{i}" for i in range(6)]:
+        assert (pdf[c] == pdf[f"{c}_dup1"]).all()
+        assert (pdf[c] == pdf[f"{c}_dup2"]).all()
+    assert (pdf["zigzag"] == pdf["zigzag_dup1"]).all()
