@@ -1107,14 +1107,33 @@ def _images(spark):
     return datagen.images_df(spark, _KERNEL_N_IMAGES, seed=42)
 
 
-@register("image_decode_stats")
+@register("image_decode_stats", """
+SELECT * FROM (VALUES
+  ('bmp', 80, 115.083333::DOUBLE, 139.328704::DOUBLE,
+   42.823155::DOUBLE, 57.606201::DOUBLE),
+  ('jpeg', 80, 120.295573::DOUBLE, 131.967499::DOUBLE,
+   46.107774::DOUBLE, 54.32498::DOUBLE),
+  ('png', 80, 116.84375::DOUBLE, 135.703125::DOUBLE,
+   44.211494::DOUBLE, 52.790476::DOUBLE)
+) AS t(fmt, n, min_px_mean, max_px_mean, min_luma_std, max_luma_std)
+""")
 def q_decode_stats(spark, sf_dir):
     """U1/U3 analog — decode binary payload, per-image pixel stats
-    (mapInPandas, no shuffle)."""
+    (mapInPandas, no shuffle), digested per format so the driver can
+    value-hash it against pinned golden constants (the image corpus is
+    seeded datagen, sf-independent; per-image values are pytest-checked).
+    min/max are order-independent, so the digest is exactly
+    deterministic."""
     img = _images(spark)
-    out = kernels.decode_stats(img, keep=["image_id"])
-    return _round(out, ["px_mean", "px_std", "luma_mean", "luma_std",
-                        "r_mean", "g_mean", "b_mean"])
+    out = kernels.decode_stats(img, keep=["image_id", "fmt"])
+    out = _round(out, ["px_mean", "px_std", "luma_mean", "luma_std",
+                       "r_mean", "g_mean", "b_mean"])
+    return out.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("px_mean").alias("min_px_mean"),
+        F.max("px_mean").alias("max_px_mean"),
+        F.min("luma_std").alias("min_luma_std"),
+        F.max("luma_std").alias("max_luma_std"))
 
 
 # Deterministic multi-label predictions table shared by the U11 metric
@@ -1239,45 +1258,178 @@ def q_long_features_parity(spark, sf_dir):  # arity contract in tests/
     return _round(out, [c for c in out.columns if c != "user_id"])
 
 
-@register("deep_features")  # seeded-MLP forward pass — numpy oracle in tests/
+@register("deep_features", """
+SELECT * FROM (VALUES
+  ('bmp', 80, 0.065599::DOUBLE, 0.222827::DOUBLE,
+   0.047972::DOUBLE, 0.189749::DOUBLE),
+  ('jpeg', 80, 0.066753::DOUBLE, 0.191757::DOUBLE,
+   0.052924::DOUBLE, 0.200118::DOUBLE),
+  ('png', 80, 0.077178::DOUBLE, 0.200656::DOUBLE,
+   0.051889::DOUBLE, 0.228853::DOUBLE)
+) AS t(fmt, n, min_d1, max_d1, min_d9, max_d9)
+""")
 def q_deep_features(spark, sf_dir):
     """U8 — broadcast-weights batch inference: 9-dim deep-feature vector
-    per image (get_model.py:27-32), Arrow-batched matmul kernel."""
+    per image (get_model.py:27-32), Arrow-batched matmul kernel; digested
+    per format (pinned golden constants; per-image forward pass is
+    pytest-checked against an independent numpy reimplementation)."""
     img = _images(spark)
-    out = kernels.predict_batch(img, keep=["image_id"])
-    return _round(out, [f"d{i}" for i in range(1, 10)])
+    out = kernels.predict_batch(img, keep=["image_id", "fmt"])
+    out = _round(out, [f"d{i}" for i in range(1, 10)])
+    return out.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("d1").alias("min_d1"), F.max("d1").alias("max_d1"),
+        F.min("d9").alias("min_d9"), F.max("d9").alias("max_d9"))
 
 
-@register("image_phash_check")
+@register("image_phash_check", """
+SELECT * FROM (VALUES ('bmp', 80, 5, 75), ('jpeg', 80, 4, 76),
+                      ('png', 80, 5, 75)) AS t(fmt, n, n_hot, n_hamming0)
+""")
 def q_phash_check(spark, sf_dir):
-    """U2 analog — recompute pHash from bytes; hamming vs stored must be 0."""
-    return kernels.phash_check(_images(spark))
+    """U2 analog — recompute pHash from bytes; hamming vs stored must be 0
+    for every row EXCEPT the datagen's deliberately hot-prefix-forced skew
+    rows (prefix 0x7FEE, gen_image_row) whose stored hash is intentionally
+    rewritten. Digest per format: n, n_hot, and n_hamming0 among non-hot
+    rows (invariant: n_hamming0 == n - n_hot; pinned golden constants)."""
+    img = _images(spark)
+    out = kernels.phash_check(img)
+    j = out.join(img.select("image_id", "fmt"), "image_id")
+    hot = (F.shiftrightunsigned(F.col("phash_stored"), 48)
+           .bitwiseAND(F.lit(0xFFFF)) == 0x7FEE)
+    return j.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hot.cast("int")).alias("n_hot"),
+        F.sum(F.when(~hot & (F.col("hamming") == 0), 1).otherwise(0))
+        .alias("n_hamming0"))
 
 
-@register("image_psnr_roundtrip")
+@register("image_psnr_roundtrip", """
+SELECT * FROM (VALUES ('bmp', 80, 999.0::DOUBLE, 1),
+                      ('jpeg', 80, 48.44::DOUBLE, 1),
+                      ('png', 80, 999.0::DOUBLE, 1))
+  AS t(fmt, n, min_psnr, all_above_40)
+""")
 def q_psnr(spark, sf_dir):
-    """Payload invariant — decode/re-encode/decode PSNR (>= 40 dB lossy)."""
+    """Payload invariant — decode/re-encode/decode PSNR (>= 40 dB lossy,
+    BASELINE.json input_hint). Digest: per-fmt min PSNR + the >= 40 dB
+    floor as a flag (pinned golden constants; per-image PSNR is
+    pytest-checked)."""
     out = kernels.psnr_roundtrip(_images(spark))
-    return _round(out, ["psnr_db"])
+    out = _round(out, ["psnr_db"])
+    return out.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("psnr_db"), 2).alias("min_psnr"),
+        (F.min("psnr_db") >= 40.0).cast("int").alias("all_above_40"))
 
 
-@register("sample_entropy")
+@register("sample_entropy", """
+WITH vs AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vl FROM events),
+rr AS (  -- r = 0.2 * population std, from exact integer power sums
+  SELECT user_id,
+    0.2 * sqrt(sum(vl * vl) / count(*)
+               - (sum(vl) / count(*)) * (sum(vl) / count(*))) / 100 AS r
+  FROM vs GROUP BY user_id),
+t AS (
+  SELECT user_id, value AS v0,
+    row_number() OVER w AS rn, count(*) OVER (PARTITION BY user_id) AS n,
+    lead(value) OVER w AS v1, lead(value, 2) OVER w AS v2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (  -- all template pairs i<j in ONE self-join; FILTER per (m, A/B)
+  SELECT a.user_id,
+    count(*) FILTER (WHERE b.rn <= a.n - 1
+                     AND abs(a.v0 - b.v0) <= r) AS b1,
+    count(*) FILTER (WHERE b.rn <= a.n - 1
+                     AND greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1)) <= r)
+      AS a1,
+    count(*) FILTER (WHERE b.rn <= a.n - 2
+                     AND greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1)) <= r)
+      AS b2,
+    count(*) FILTER (WHERE b.rn <= a.n - 2
+                     AND greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1),
+                                  abs(a.v2 - b.v2)) <= r) AS a2
+  FROM t a JOIN t b ON a.user_id = b.user_id AND a.rn < b.rn
+  JOIN rr ON rr.user_id = a.user_id
+  GROUP BY a.user_id)
+SELECT user_id,
+  round(CASE WHEN b1 = 0 THEN -2.0 WHEN a1 = 0 THEN -1.0
+             ELSE -ln(a1 / b1) END, 6) AS sampen1,
+  round(CASE WHEN b2 = 0 THEN -2.0 WHEN a2 = 0 THEN -1.0
+             ELSE -ln(a2 / b2) END, 6) AS sampen2
+FROM p
+""")
 def q_sample_entropy(spark, sf_dir):
-    """U4 — per-entity SampEn m=1,2 grouped Arrow kernel (numpy oracle in
-    tests/test_kernels.py)."""
+    """U4 — per-entity SampEn m=1,2 grouped Arrow kernel. Oracle: the
+    Richman-Moorman pair counts as a DuckDB SELF-JOIN over row_number
+    templates (O(n^2) per entity — fine for the oracle, the engine side
+    stays the blocked kernel). r matches the kernel's 0.2*std to the last
+    ulp via exact-int power sums; pair distances are 2-decimal quantized,
+    so the <= r comparisons can't straddle the ulp gap. Kernel's
+    short-series patch (n < m+2) never binds at >= 60 events/entity."""
     ev = _events(spark, sf_dir)
     out = kernels.sample_entropy_agg(ev, "value", "user_id", "ts", m_max=2)
     return _round(out, ["sampen1", "sampen2"])
 
 
-@register("fft_band_power")
+# Naive-DFT periodogram CTE (fs=1): one-sided density scaling identical to
+# periodogram_np (double all bins but DC/even-Nyquist). A radix FFT and
+# these plain trig sums agree to ~5e-9 absolute on this data, so FFT-backed
+# queries round to 2 decimals (band magnitudes are 1e4-1e6 — still a sharp
+# check, and the boundary is 6 orders above the numeric noise).
+_DFT_CTE = """
+s AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+kk AS (
+  SELECT user_id, n, unnest(generate_series(0, n // 2)) AS k
+  FROM (SELECT DISTINCT user_id, n FROM s)),
+dft AS (
+  SELECT kk.user_id, kk.n, k,
+    sum(value * cos(2 * pi() * k * t / kk.n)) AS re,
+    sum(value * sin(2 * pi() * k * t / kk.n)) AS im
+  FROM kk JOIN s ON s.user_id = kk.user_id
+  GROUP BY kk.user_id, kk.n, k),
+px AS (
+  -- f = k * (1/n), NOT k/n: numpy rfftfreq multiplies by the reciprocal,
+  -- and the two differ in the last ulp exactly at band edges like 0.05
+  SELECT user_id, n, k, k * (1::DOUBLE / n) AS f,
+    (re * re + im * im) / n
+      * (CASE WHEN k = 0 OR (n % 2 = 0 AND k = n // 2) THEN 1 ELSE 2 END)
+      AS pxx
+  FROM dft)
+"""
+
+
+@register("fft_band_power", f"""
+WITH {_DFT_CTE}
+SELECT user_id,
+  round(coalesce(sum(pxx) FILTER (WHERE f >= 0   AND f < 0.05), 0), 2)
+    AS band0,
+  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.05 AND f < 0.1), 0), 2)
+    AS band1,
+  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.1 AND f < 0.2), 0), 2)
+    AS band2,
+  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.2 AND f < 0.3), 0), 2)
+    AS band3,
+  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.3 AND f < 0.4), 0), 2)
+    AS band4,
+  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.4 AND f < 0.5), 0), 2)
+    AS band5,
+  round(sum(pxx), 2) AS total_power
+FROM px GROUP BY user_id
+""")
 def q_fft(spark, sf_dir):
-    """U6 — per-entity periodogram band powers (numpy oracle in tests/)."""
+    """U6 — per-entity periodogram band powers. Oracle: naive-DFT
+    trig-sum periodogram in DuckDB (O(n^2/2) per entity — oracle-only
+    cost; the engine side stays the rfft kernel)."""
     ev = _events(spark, sf_dir)
     out = kernels.fft_band_power_agg(ev, "value", "user_id", "ts", fs=1.0)
     return _round(out, [c for c in
                         ("band0", "band1", "band2", "band3", "band4", "band5",
-                         "total_power")])
+                         "total_power")], n=2)
 
 
 @register("flagship")
@@ -1692,14 +1844,60 @@ def q_anchor_window_aggs(spark, sf_dir):
                         "argmax_s", "argmin_s"])
 
 
-@register("fft_features")  # richer kernel family — numpy oracle in tests/
+@register("fft_features", f"""
+WITH {_DFT_CTE},
+agg AS (
+  SELECT user_id,
+    coalesce(sum(pxx) FILTER (WHERE k >= 0
+                              AND k < trunc(1.5 * n)), 0) AS b0,
+    coalesce(sum(pxx) FILTER (WHERE k >= trunc(1.5 * n)
+                              AND k < trunc(4 * n)), 0) AS b1,
+    coalesce(sum(pxx) FILTER (WHERE k >= trunc(4 * n)
+                              AND k < trunc(8 * n)), 0) AS b2,
+    coalesce(sum(pxx) FILTER (WHERE k >= trunc(8 * n)
+                              AND k < trunc(20 * n)), 0) AS b3,
+    coalesce(sum(pxx) FILTER (WHERE k >= trunc(20 * n)
+                              AND k < trunc(100 * n)), 0) AS b4,
+    coalesce(sum(pxx) FILTER (WHERE k >= trunc(100 * n)
+                              AND k < trunc(0.5 * n)), 0) AS b5,
+    sum(pxx) AS total,
+    coalesce(sum(pxx) FILTER (WHERE f < 0.1), 0) AS sig,
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.1), 0) AS noise
+  FROM px GROUP BY user_id)
+SELECT user_id,
+  round(b0, 2) AS band0, round(b1, 2) AS band1, round(b2, 2) AS band2,
+  round(b3, 2) AS band3, round(b4, 2) AS band4, round(b5, 2) AS band5,
+  round(total, 2) AS total_power,
+  round(CASE WHEN (b0 + b1 + b2 + b3 + b4 + b5) > 0 THEN -(
+      (CASE WHEN b0 > 0 THEN (b0 / (b0+b1+b2+b3+b4+b5))
+                             * ln(b0 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END)
+    + (CASE WHEN b1 > 0 THEN (b1 / (b0+b1+b2+b3+b4+b5))
+                             * ln(b1 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END)
+    + (CASE WHEN b2 > 0 THEN (b2 / (b0+b1+b2+b3+b4+b5))
+                             * ln(b2 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END)
+    + (CASE WHEN b3 > 0 THEN (b3 / (b0+b1+b2+b3+b4+b5))
+                             * ln(b3 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END)
+    + (CASE WHEN b4 > 0 THEN (b4 / (b0+b1+b2+b3+b4+b5))
+                             * ln(b4 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END)
+    + (CASE WHEN b5 > 0 THEN (b5 / (b0+b1+b2+b3+b4+b5))
+                             * ln(b5 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END))
+    ELSE 0 END, 6) AS band_entropy,
+  round(CASE WHEN noise > 0 THEN sig / noise ELSE 0 END, 6) AS snr
+FROM agg
+""")
 def q_fft_features(spark, sf_dir):
     """A16-A19 fused — index-partitioned band powers + total power +
-    band Shannon entropy + SNR in one periodogram pass."""
+    band Shannon entropy + SNR in one periodogram pass. Oracle: the same
+    naive-DFT CTE as `fft_band_power` with the reference's
+    int(edge*nfft/fs) index partition (degenerate at fs=1: band0 absorbs
+    the whole one-sided spectrum — faithfully mirrored, entropy of a
+    single band is exactly 0 on both sides)."""
     ev = _events(spark, sf_dir)
     out = kernels.fft_features_agg(ev, "value", "user_id", "ts", fs=1.0,
                                    snr_cut_hz=0.1)
-    return _round(out, [c for c in out.columns if c != "user_id"])
+    out = _round(out, ["band0", "band1", "band2", "band3", "band4",
+                       "band5", "total_power"], n=2)
+    return _round(out, ["band_entropy", "snr"])
 
 
 @register("wavelet_stats")  # pure-numpy DWT — numpy oracle in tests/
@@ -1721,17 +1919,45 @@ def q_spectrogram(spark, sf_dir):
                                    nperseg=64, noverlap=0)
 
 
-@register("anchor_fiducials_kernel")  # U10 cogrouped kernel — tests assert
-def q_anchor_fiducials_kernel(spark, sf_dir):  # parity with the range join
+@register("anchor_fiducials_kernel", """
+SELECT count(*) AS n_anchors, count(*) AS n_matching
+FROM events WHERE event_type = 'click'
+""")
+def q_anchor_fiducials_kernel(spark, sf_dir):
     """A24/U10 — the row-expanding per-anchor kernel (cogrouped
-    applyInPandas); relational twin: anchor_window_aggs."""
-    ev = _events(spark, sf_dir)
-    anchors = (ev.where(F.col("event_type") == "click")
-               .select("user_id", F.col("event_id").alias("anchor_id"), "ts"))
-    return kernels.anchor_fiducials_kernel(
-        ev.select("user_id", "ts", "value"), anchors, by="user_id",
+    applyInPandas) checked IN-QUERY against its relational twin
+    (anchor_window_aggs over the same ±2h windows): the digest counts
+    anchors where the shared aggregate columns agree to 1e-9. The oracle
+    computes the expected anchor count from the events table and asserts
+    full agreement — a kernel/relational divergence or a dropped anchor
+    hash-fails."""
+    # fresh scans per side: the cogrouped kernel and the relational twin
+    # sharing one scan lineage confuses plan dedup under the final join
+    ev_k = _events(spark, sf_dir)
+    ev_r = _events(spark, sf_dir)
+    anchors_k = (ev_k.where(F.col("event_type") == "click")
+                 .select("user_id", F.col("event_id").alias("anchor_id"),
+                         "ts"))
+    anchors_r = (ev_r.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("anchor_id"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi")))
+    k = kernels.anchor_fiducials_kernel(
+        ev_k.select("user_id", "ts", "value"), anchors_k, by="user_id",
         event_ts="ts", value="value", anchor_key="anchor_id",
         lo_s=-2 * 3600.0, hi_s=2 * 3600.0)
+    r = joins.anchor_window_aggs(
+        ev_r.select("user_id", "ts", "value"), anchors_r, by="user_id",
+        anchor_key="anchor_id", bucket_seconds=4 * 3600.0)
+    j = k.alias("k").join(r.alias("r"), ["user_id", "anchor_id"])
+    ok = (
+        (F.col("k.n_events") == F.col("r.n_events"))
+        & (F.abs(F.col("k.max_value") - F.col("r.max_value")) < 1e-9)
+        & (F.abs(F.col("k.min_value") - F.col("r.min_value")) < 1e-9)
+        & (F.abs(F.col("k.mean_value") - F.col("r.mean_value")) < 1e-9)
+        & (F.abs(F.col("k.amplitude") - F.col("r.amplitude")) < 1e-9))
+    return j.agg(F.count(F.lit(1)).alias("n_anchors"),
+                 F.sum(ok.cast("int")).alias("n_matching"))
 
 
 # =====================================================================
@@ -1785,7 +2011,9 @@ def q_rdensity(spark, sf_dir):
     return _round(out, ["rdensity"])
 
 
-@register("phash_near_dups")  # synthetic images table — tests cover oracle
+@register("phash_near_dups", """
+SELECT 0 AS n_pairs, 0 AS n_h0, -1 AS max_hamming
+""")
 def q_phash_near_dups(spark, sf_dir):
     """Image near-duplicate pairs by pHash hamming <= 6, bucketized on
     16-bit blocks (pigeonhole guarantee needs hamming < 4 blocks; wider
@@ -1812,13 +2040,72 @@ def q_phash_near_dups(spark, sf_dir):
         .distinct()
         .where(F.col("hamming") <= 6)
     )
-    return pairs
+    # digest: pair population (pinned golden constants; planted-dup
+    # membership is pytest-checked)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)),
+                   F.lit(0)).alias("n_h0"),
+        F.coalesce(F.max("hamming"), F.lit(-1)).alias("max_hamming"))
 
 
-@register("sample_entropy_qrs")  # normalized A11 variant — tests/ oracle
+@register("sample_entropy_qrs", """
+WITH vs AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vl FROM events),
+st AS (
+  SELECT user_id, (sum(vl) / count(*)) / 100 AS mu,
+    sqrt(sum(vl * vl) / count(*)
+         - (sum(vl) / count(*)) * (sum(vl) / count(*))) / 100 AS sd
+  FROM vs GROUP BY user_id),
+t AS (
+  SELECT e.user_id, (value - mu) / sd AS z0,
+    row_number() OVER w AS rn, count(*) OVER (PARTITION BY e.user_id) AS n
+  FROM events e JOIN st ON e.user_id = st.user_id
+  WINDOW w AS (PARTITION BY e.user_id ORDER BY ts, event_id)),
+t2 AS (
+  SELECT user_id, rn, n, z0,
+    lead(z0) OVER w2 AS z1, lead(z0, 2) OVER w2 AS z2,
+    lead(z0, 3) OVER w2 AS z3
+  FROM t WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)),
+p AS (
+  SELECT a.user_id, max(a.n) AS n,
+    count(*) FILTER (WHERE abs(a.z0 - b.z0) <= 0.2) AS a0,
+    count(*) FILTER (WHERE b.rn <= a.n - 1
+                     AND abs(a.z0 - b.z0) <= 0.2) AS b1,
+    count(*) FILTER (WHERE b.rn <= a.n - 1 AND
+      greatest(abs(a.z0 - b.z0), abs(a.z1 - b.z1)) <= 0.2) AS a1,
+    count(*) FILTER (WHERE b.rn <= a.n - 2 AND
+      greatest(abs(a.z0 - b.z0), abs(a.z1 - b.z1)) <= 0.2) AS b2,
+    count(*) FILTER (WHERE b.rn <= a.n - 2 AND
+      greatest(abs(a.z0 - b.z0), abs(a.z1 - b.z1),
+               abs(a.z2 - b.z2)) <= 0.2) AS a2,
+    count(*) FILTER (WHERE b.rn <= a.n - 3 AND
+      greatest(abs(a.z0 - b.z0), abs(a.z1 - b.z1),
+               abs(a.z2 - b.z2)) <= 0.2) AS b3,
+    count(*) FILTER (WHERE b.rn <= a.n - 3 AND
+      greatest(abs(a.z0 - b.z0), abs(a.z1 - b.z1), abs(a.z2 - b.z2),
+               abs(a.z3 - b.z3)) <= 0.2) AS a3
+  FROM t2 a JOIN t2 b ON a.user_id = b.user_id AND a.rn < b.rn
+  GROUP BY a.user_id)
+SELECT user_id,
+  round(CASE WHEN n > 1 AND a0 > 0 THEN -ln(a0 / (n * (n - 1) / 2))
+             ELSE 100.0 END, 6) AS sampen_m0,
+  round(CASE WHEN b1 > 0 AND a1 > 0 THEN -ln(a1 / b1)
+             ELSE 100.0 END, 6) AS sampen_m1,
+  round(CASE WHEN b2 > 0 AND a2 > 0 THEN -ln(a2 / b2)
+             ELSE 100.0 END, 6) AS sampen_m2,
+  round(CASE WHEN b3 > 0 AND a3 > 0 THEN -ln(a3 / b3)
+             ELSE 100.0 END, 6) AS sampen_m3
+FROM p
+""")
 def q_sample_entropy_qrs(spark, sf_dir):
     """A11 — normalized SampEn m=0..3 with the None->100 patch
-    (QRS_features.py:305-322)."""
+    (QRS_features.py:305-322). Oracle: same self-join pattern as
+    `sample_entropy` on the z-scored series (z from exact-int moments —
+    within 1e-15 of the kernel's numpy z, far from any 0.2-threshold
+    boundary); m=0 uses the all-matching length-0 convention
+    B = n(n-1)/2. A zero-std entity z-divides to NULL -> counts 0 ->
+    the 100 patch on both sides."""
     ev = _events(spark, sf_dir)
     out = kernels.sample_entropy_qrs_agg(ev, "value", "user_id", "ts", 3)
     return _round(out, [c for c in out.columns if c != "user_id"])
@@ -1878,10 +2165,19 @@ def q_ivf_topk(spark, sf_dir):
                                n_lists=8, n_probe=3)
 
 
-@register("image_resize")  # payload-transform kernel — tests/ oracle
+@register("image_resize", """
+SELECT 'png' AS fmt, 240 AS n, 16 AS w, 16 AS h,
+       354 AS min_bytes, 852 AS max_bytes
+""")
 def q_image_resize(spark, sf_dir):
     """U3 — resize every image onto a common 16x16 grid (the reference's
     common-clock resample analog), re-encoded as lossless PNG."""
     out = kernels.resize_images(_images(spark), 16, out_fmt="png")
-    return out.select("image_id", "w", "h", "fmt",
-                      F.length("bytes").alias("n_bytes"))
+    per = out.select("image_id", "w", "h", "fmt",
+                     F.length("bytes").alias("n_bytes"))
+    # digest: pinned golden constants (PNG re-encode is deterministic)
+    return per.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("w").alias("w"), F.max("h").alias("h"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"))

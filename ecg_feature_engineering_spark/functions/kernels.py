@@ -27,6 +27,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ecg_feature_engineering_spark.datagen import codecs
 
@@ -79,7 +80,8 @@ def decode_stats(df, id_col: str = "image_id", bytes_col: str = "bytes",
             out["decoded_h"] = dims[:, 1]
             yield out
 
-    return df.select(*keep, bytes_col, fmt_col).mapInPandas(run, schema=out_schema)
+    return df.select(*dict.fromkeys([*keep, bytes_col, fmt_col])) \
+        .mapInPandas(run, schema=out_schema)
 
 
 PAYLOAD_FEATURES_FIELDS = (
@@ -625,6 +627,10 @@ def anchor_fiducials_kernel(events, anchors, by: str = "entity_id",
         out = []
         if a_pdf.empty:
             return pd.DataFrame(columns=[by, anchor_key, *FIDUCIAL_COLS])
+        if event_ts not in e_pdf.columns:
+            raise RuntimeError(
+                f"cogroup events frame missing {event_ts!r}: "
+                f"e={list(e_pdf.columns)} a={list(a_pdf.columns)}")
         ev = e_pdf.sort_values(event_ts)
         ets = ev[event_ts].to_numpy()
         vals = ev[value].to_numpy()
@@ -684,9 +690,18 @@ def anchor_fiducials_kernel(events, anchors, by: str = "entity_id",
               "area double, pre_mean double, post_mean double, "
               "pre_post_step double, n_pre long, n_post long, "
               "value_at_anchor double")
+    # Re-alias the events projection to mint FRESH attribute ids: when
+    # anchors and events derive from the SAME scan (anchors are usually a
+    # filtered view of the event stream), Spark's self-join attribute
+    # dedup can silently collapse the shared `ts` attribute and hand the
+    # kernel an events frame without its timestamp column. Alias nodes
+    # break the identity; the defensive raise in run() guards the rest.
+    ev_fresh = events.select(
+        F.col(by).alias(by), F.col(event_ts).alias(event_ts),
+        F.col(value).alias(value))
     return (
         anchors.groupBy(by)
-        .cogroup(events.select(by, event_ts, value).groupBy(by))
+        .cogroup(ev_fresh.groupBy(by))
         .applyInPandas(run, schema=schema)
     )
 

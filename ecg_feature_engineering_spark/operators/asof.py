@@ -294,7 +294,16 @@ def _asof_union_window_bucketed(left, right, on, by, right_on, direction,
         *[F.col(rc).alias(oc) for rc, oc in vcols],
     ).select(*l_tagged.columns)
 
-    sec = F.col(on).cast("timestamp").cast("double")
+    # ntz-safe epoch seconds for the bucket id: a cast-through-timestamp is
+    # session-tz-dependent for NTZ inputs (bucket semantics survive either
+    # way — buckets stay contiguous and the carry pass crosses them — but
+    # the engine's tz-independence rule applies everywhere)
+    from ecg_feature_engineering_spark.operators import windows as _w
+    on_type = dict(zip(l_tagged.schema.names,
+                       (f.dataType.simpleString()
+                        for f in l_tagged.schema.fields)))[on]
+    sec = (_w.ntz_epoch_seconds(F.col(on)) if on_type == "timestamp_ntz"
+           else F.col(on).cast("timestamp").cast("double"))
     u = (l_tagged.unionByName(r_tagged)
          .withColumn("__bkt", F.floor(sec / F.lit(bucket_seconds))
                      .cast("long")))

@@ -175,15 +175,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sx = sig.alias("sx")
-    sy = sig.alias("sy")
-    eq = sum(
-        F.when(F.col(f"sx.mh{i}") == F.col(f"sy.mh{i}"), 1).otherwise(0)
-        for i in range(k)
-    )
+    # verify join carries ONE array<long> column instead of the 65-column
+    # signature table (thinner shuffle x2); zip_with equality count is the
+    # same estimate
+    sig_arr = sig.select(
+        F.col(id_col).alias("sid"),
+        F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig"))
+    eq = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
     return (
-        cand.join(sx, F.col("id_a") == F.col(f"sx.{id_col}"))
-        .join(sy, F.col("id_b") == F.col(f"sy.{id_col}"))
+        cand.join(sig_arr.withColumnsRenamed({"sid": "id_a",
+                                              "sig": "sig_a"}), "id_a")
+        .join(sig_arr.withColumnsRenamed({"sid": "id_b",
+                                          "sig": "sig_b"}), "id_b")
         .select("id_a", "id_b", (eq / F.lit(k)).alias("jaccard_est"))
         .where(F.col("jaccard_est") >= threshold)
     )
