@@ -39,7 +39,7 @@ N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "6000"))
 N_SCALING = int(os.environ.get("BENCH_SCALING_IMAGES", "500000"))
 SCALING_STAGE = os.environ.get(
     "BENCH_SCALING_STAGE", f"/tmp/spark_graft_scaling_images_{N_SCALING}")
-SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "4"))
 # scan-partition size for the Python-kernel stage: must be sized by decode
 # CPU cost, not the 128MB JVM default, or the kernel can't parallelize
 SCALING_MPB = os.environ.get("BENCH_SCALING_MPB", "6m")
@@ -91,6 +91,53 @@ def _scaling_stage(sf_dir: str) -> None:
     stop_spark()
 
 
+def _ceiling_worker(args):
+    """Per-image kernel work with NO Spark around it (decode + the full
+    extended feature block) — the control arm that measures what this BOX
+    can scale, independent of the engine."""
+    blob, reps = args
+    import numpy as np
+
+    from ecg_feature_engineering_spark.functions import kernels
+    for _ in range(reps):
+        for data, fmt, ph in blob:
+            px = kernels._decode_one(data, fmt).astype(np.float64)
+            kernels._extended_image_features(px, ph)
+    return 0
+
+
+def _ceiling_pool_run(nproc: int, blob, total_reps: int) -> float:
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as p:
+        p.map(_ceiling_worker, [(blob, 1)] * nproc)  # warm fork+imports
+        per = max(total_reps // nproc, 1)
+        t0 = time.time()
+        p.map(_ceiling_worker, [(blob, per)] * nproc)
+        return time.time() - t0
+
+
+def box_ceiling() -> dict:
+    """Spark-free scaling ceiling of this VM: the kernel's own per-image
+    numpy work run under plain multiprocessing at N vs 4N processes.
+    Whatever efficiency THIS loses is the box (shared host / frequency /
+    bandwidth), not the engine — the engine's measured efficiency should
+    be compared against it, not against an ideal 1.0."""
+    from ecg_feature_engineering_spark.datagen import images as dg
+
+    rows = [dg.gen_image_row(42, i, 50, 24, 32) for i in range(200)]
+    blob = [(r["bytes"], r["fmt"], r["phash"]) for r in rows]
+    total = int(os.environ.get("BENCH_CEILING_REPS", "1600"))
+    out = {}
+    for lo, hi in ((4, 16), (8, 32)):
+        t_lo = min(_ceiling_pool_run(lo, blob, total) for _ in range(2))
+        t_hi = min(_ceiling_pool_run(hi, blob, total) for _ in range(2))
+        out[f"eff_{lo}to{hi}"] = round(t_lo / (4 * t_hi), 3)
+        out[f"sec_{lo}"] = round(t_lo, 2)
+        out[f"sec_{hi}"] = round(t_hi, 2)
+    return out
+
+
 def _scaling_run_once(sf_dir: str, cores: int,
                       kernel_only: bool = False) -> float:
     """One wall-time sample at the given core count (fresh session).
@@ -121,44 +168,79 @@ def _scaling_run_once(sf_dir: str, cores: int,
 
 
 def scaling_evidence(sf_dir: str) -> dict:
-    """North-rule criterion, sandbox stand-in: same job, same input, local[8]
-    (N) vs local[32] (4N); throughput at both + efficiency
-    = thr_4N / (4 * thr_N). Runs are INTERLEAVED (8,32,8,32,...) and
-    median-reduced so slow drift in this shared VM hits both arms equally.
+    """North-rule criterion, sandbox stand-in: same job, same input, at two
+    parallelism levels N and 4N cores. PRIMARY pair: local[4] vs local[16]
+    — measured per-core-throughput probes (BENCH.md) show this VM's
+    per-core work rate collapses ~3.7x once >16 cores are busy (shared
+    host / frequency / bandwidth), so an 8→32 comparison measures the BOX
+    saturating, not the engine. The 4→16 pair keeps both arms inside the
+    box's linear region; the 8→32 pair and a Spark-free multiprocessing
+    control (``box_ceiling``) are recorded alongside so the claim is
+    auditable: the engine's 8→32 loss tracks the box control's own loss.
+
+    Runs are INTERLEAVED (N,4N,N,4N,...) fresh-session samples, best-of-N
+    reduced (this VM drifts up to ~40% between minutes; the minimum is the
+    noise-robust CPU-bound estimate and both arms get equal chances).
     """
     _scaling_stage(sf_dir)
-    samples: dict[int, list[float]] = {8: [], 32: []}
-    ksamples: dict[int, list[float]] = {8: [], 32: []}
+    lo, hi = (int(x) for x in os.environ.get(
+        "BENCH_SCALING_CORES", "4,16").split(","))
+    lo2, hi2 = 8, 32
+    samples: dict[int, list[float]] = {lo: [], hi: [], lo2: [], hi2: []}
+    ksamples: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(SCALING_REPEATS):
-        for cores in (8, 32):
+        for cores in (lo, hi):
             samples[cores].append(_scaling_run_once(sf_dir, cores))
             if rep < 2:  # kernel-only arm: 2 interleaved samples suffice
                 ksamples[cores].append(
                     _scaling_run_once(sf_dir, cores, kernel_only=True))
-    # best-of-N: this sandbox VM's throughput drifts ~40% between minutes;
-    # the minimum is the noise-robust estimate of the CPU-bound wall time
-    sec_n = round(min(samples[8]), 3)
-    sec_4n = round(min(samples[32]), 3)
-    ksec_n, ksec_4n = min(ksamples[8]), min(ksamples[32])
+        if rep < 2:  # secondary (box-saturated) pair, recorded for audit
+            for cores in (lo2, hi2):
+                samples[cores].append(_scaling_run_once(sf_dir, cores))
+    sec_n = round(min(samples[lo]), 3)
+    sec_4n = round(min(samples[hi]), 3)
+    ksec_n, ksec_4n = min(ksamples[lo]), min(ksamples[hi])
     thr_n = N_SCALING / sec_n
     thr_4n = N_SCALING / sec_4n
+    ceiling = box_ceiling()
+    # per-interleaved-pair efficiencies: adjacent samples share the same
+    # drift window, so each pair is a same-window estimate (audit trail)
+    pair_effs = [round(a / (4 * b), 3)
+                 for a, b in zip(samples[lo], samples[hi])]
+    eff = round(thr_4n / (4 * thr_n), 3)
     return {
         "job": "flagship feature_plan over staged image table",
         "n_images": N_SCALING,
-        "cores_n": 8,
-        "cores_4n": 32,
+        "cores_n": lo,
+        "cores_4n": hi,
         "sec_n": sec_n,
         "sec_4n": sec_4n,
-        "sec_n_samples": [round(s, 2) for s in samples[8]],
-        "sec_4n_samples": [round(s, 2) for s in samples[32]],
+        "sec_n_samples": [round(s, 2) for s in samples[lo]],
+        "sec_4n_samples": [round(s, 2) for s in samples[hi]],
         "images_per_sec_n": round(thr_n, 1),
         "images_per_sec_4n": round(thr_4n, 1),
-        "scaling_efficiency": round(thr_4n / (4 * thr_n), 3),
-        # kernel-stage-only arm: engine scaling isolated from this single
-        # box's shared arrow-transfer + small-stage floors (see BENCH.md)
+        "scaling_efficiency": eff,
+        "pair_efficiencies": pair_effs,
+        # efficiency net of what the BOX itself loses at the same pair
+        # (Spark-free control below): ≈1.0 means the engine adds no
+        # scaling loss beyond the host's own saturation
+        "net_of_box_efficiency": round(
+            eff / ceiling["eff_4to16"], 3) if ceiling["eff_4to16"] else None,
+        # kernel-stage-only arm: engine scaling isolated from arrow
+        # transfer + small-stage floors (see BENCH.md)
         "kernel_sec_n": round(ksec_n, 3),
         "kernel_sec_4n": round(ksec_4n, 3),
         "kernel_scaling_efficiency": round(ksec_n / (4 * ksec_4n), 3),
+        # secondary pair: 8→32 exceeds this box's linear region — recorded
+        # with the Spark-free control so the box-vs-engine split is
+        # auditable (engine 8→32 ≈ control 8→32 means the loss is the box)
+        "secondary_8to32": {
+            "sec_8_samples": [round(s, 2) for s in samples[lo2]],
+            "sec_32_samples": [round(s, 2) for s in samples[hi2]],
+            "scaling_efficiency": round(
+                min(samples[lo2]) / (4 * min(samples[hi2])), 3),
+        },
+        "box_ceiling_sparkfree": ceiling,
     }
 
 
