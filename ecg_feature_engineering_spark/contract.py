@@ -1244,6 +1244,17 @@ def q_auc_scores(spark, sf_dir):
     return _round(per, ["auroc", "auprc"])
 
 
+@register("e3_pipeline")  # float-sum standardization -> rows-only;
+def q_e3_pipeline(spark, sf_dir):  # determinism + range tests in tests/
+    """E3 — the reference's full model pipeline end to end
+    (xgboost_clf.py:7-27, 215-260): feature-matrix column join ->
+    StandardScaler analog -> hash split -> stand-in seeded scorer ->
+    challenge metrics per class on the held-out split."""
+    from ecg_feature_engineering_spark.plans import feature_matrix as fm
+    ev = _events(spark, sf_dir)
+    return fm.e3_pipeline(ev, by="user_id")
+
+
 @register("long_features_parity")  # composite of oracle-backed families;
 def q_long_features_parity(spark, sf_dir):  # arity contract in tests/
     """LONG block with the reference's duplicated-column quirk replicated

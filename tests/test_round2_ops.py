@@ -310,3 +310,41 @@ def test_long_features_parity_arity_and_dup_values(spark, sf_dir):
         assert (pdf[c] == pdf[f"{c}_dup1"]).all()
         assert (pdf[c] == pdf[f"{c}_dup2"]).all()
     assert (pdf["zigzag"] == pdf["zigzag_dup1"]).all()
+
+
+# ------------------------------------------------------------ E3 pipeline
+def test_e3_pipeline_deterministic_and_sane(spark, sf_dir):
+    from ecg_feature_engineering_spark.plans import feature_matrix as fm
+
+    contract.ensure_workers_can_import(spark)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+    a = fm.e3_pipeline(ev).toPandas()
+    b = fm.e3_pipeline(ev).toPandas()
+    assert a.equals(b)                       # fully deterministic rerun
+    assert list(a["class_idx"]) == [0, 1, 2, 3, 4]
+    for c in ("fbeta", "gbeta", "accuracy", "fmeasure", "auroc", "auprc"):
+        assert a[c].between(0, 1).all(), c
+    # contingency mass: tp+fp+fn+tn sums to the held-out record count
+    ev_users = ev.select("user_id").distinct().count()
+    mass = (a[["tp", "fp", "fn", "tn"]].sum(axis=1)).round(6).unique()
+    assert len(mass) == 1 and 0 < mass[0] <= ev_users
+
+
+def test_feature_matrix_shape_and_standardize(spark, sf_dir):
+    from ecg_feature_engineering_spark.plans import feature_matrix as fm
+
+    contract.ensure_workers_can_import(spark)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+    m = fm.feature_matrix(ev)
+    n_users = ev.select("user_id").distinct().count()
+    pdf = m.toPandas()
+    assert len(pdf) == n_users
+    assert len(m.columns) > 100  # HRV + QRS basic + LONG block
+    cols = [c for c in m.columns if c != "user_id"][:5]
+    z = fm.standardize(m, cols).toPandas()
+    for c in cols:
+        assert abs(z[c].mean()) < 1e-9
+        sd = z[c].std(ddof=0)
+        assert sd == 0 or abs(sd - 1) < 1e-9
