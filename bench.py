@@ -39,7 +39,7 @@ N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "6000"))
 N_SCALING = int(os.environ.get("BENCH_SCALING_IMAGES", "500000"))
 SCALING_STAGE = os.environ.get(
     "BENCH_SCALING_STAGE", f"/tmp/spark_graft_scaling_images_{N_SCALING}")
-SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "4"))
+SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
 # scan-partition size for the Python-kernel stage: must be sized by decode
 # CPU cost, not the 128MB JVM default, or the kernel can't parallelize
 SCALING_MPB = os.environ.get("BENCH_SCALING_MPB", "6m")
@@ -194,7 +194,7 @@ def scaling_evidence(sf_dir: str) -> dict:
             if rep < 2:  # kernel-only arm: 2 interleaved samples suffice
                 ksamples[cores].append(
                     _scaling_run_once(sf_dir, cores, kernel_only=True))
-        if rep < 2:  # secondary (box-saturated) pair, recorded for audit
+        if rep < 1:  # secondary (box-saturated) pair, one audit sample
             for cores in (lo2, hi2):
                 samples[cores].append(_scaling_run_once(sf_dir, cores))
     sec_n = round(min(samples[lo]), 3)
