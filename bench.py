@@ -117,7 +117,7 @@ def _ceiling_pool_run(nproc: int, blob, total_reps: int) -> float:
         return time.time() - t0
 
 
-def box_ceiling() -> dict:
+def box_ceiling(pairs=((4, 16), (8, 32))) -> dict:
     """Spark-free scaling ceiling of this VM: the kernel's own per-image
     numpy work run under plain multiprocessing at N vs 4N processes.
     Whatever efficiency THIS loses is the box (shared host / frequency /
@@ -129,7 +129,7 @@ def box_ceiling() -> dict:
     blob = [(r["bytes"], r["fmt"], r["phash"]) for r in rows]
     total = int(os.environ.get("BENCH_CEILING_REPS", "1600"))
     out = {}
-    for lo, hi in ((4, 16), (8, 32)):
+    for lo, hi in pairs:
         t_lo = min(_ceiling_pool_run(lo, blob, total) for _ in range(2))
         t_hi = min(_ceiling_pool_run(hi, blob, total) for _ in range(2))
         out[f"eff_{lo}to{hi}"] = round(t_lo / (4 * t_hi), 3)
@@ -186,6 +186,7 @@ def scaling_evidence(sf_dir: str) -> dict:
     lo, hi = (int(x) for x in os.environ.get(
         "BENCH_SCALING_CORES", "4,16").split(","))
     lo2, hi2 = 8, 32
+    run_secondary = (lo, hi) != (lo2, hi2)  # an 8,32 override IS the pair
     samples: dict[int, list[float]] = {lo: [], hi: [], lo2: [], hi2: []}
     ksamples: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(SCALING_REPEATS):
@@ -194,7 +195,7 @@ def scaling_evidence(sf_dir: str) -> dict:
             if rep < 2:  # kernel-only arm: 2 interleaved samples suffice
                 ksamples[cores].append(
                     _scaling_run_once(sf_dir, cores, kernel_only=True))
-        if rep < 1:  # secondary (box-saturated) pair, one audit sample
+        if run_secondary and rep < 1:  # secondary pair, one audit sample
             for cores in (lo2, hi2):
                 samples[cores].append(_scaling_run_once(sf_dir, cores))
     sec_n = round(min(samples[lo]), 3)
@@ -202,7 +203,9 @@ def scaling_evidence(sf_dir: str) -> dict:
     ksec_n, ksec_4n = min(ksamples[lo]), min(ksamples[hi])
     thr_n = N_SCALING / sec_n
     thr_4n = N_SCALING / sec_4n
-    ceiling = box_ceiling()
+    ceiling_pairs = ((lo, hi), (lo2, hi2)) if run_secondary \
+        else ((lo, hi),)
+    ceiling = box_ceiling(ceiling_pairs)
     # per-interleaved-pair efficiencies: adjacent samples share the same
     # drift window, so each pair is a same-window estimate (audit trail)
     pair_effs = [round(a / (4 * b), 3)
@@ -225,7 +228,8 @@ def scaling_evidence(sf_dir: str) -> dict:
         # (Spark-free control below): ≈1.0 means the engine adds no
         # scaling loss beyond the host's own saturation
         "net_of_box_efficiency": round(
-            eff / ceiling["eff_4to16"], 3) if ceiling["eff_4to16"] else None,
+            eff / ceiling[f"eff_{lo}to{hi}"], 3)
+        if ceiling.get(f"eff_{lo}to{hi}") else None,
         # kernel-stage-only arm: engine scaling isolated from arrow
         # transfer + small-stage floors (see BENCH.md)
         "kernel_sec_n": round(ksec_n, 3),
@@ -239,7 +243,7 @@ def scaling_evidence(sf_dir: str) -> dict:
             "sec_32_samples": [round(s, 2) for s in samples[hi2]],
             "scaling_efficiency": round(
                 min(samples[lo2]) / (4 * min(samples[hi2])), 3),
-        },
+        } if run_secondary else None,
         "box_ceiling_sparkfree": ceiling,
     }
 

@@ -75,7 +75,10 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
                                 os.path.getmtime(os.path.join(root, f)))
     if (not os.path.exists(zpath)
             or os.path.getmtime(zpath) < src_mtime):
-        tmp = zpath + ".tmp"
+        # pid-unique temp + atomic replace: two concurrent sessions may
+        # both rebuild, but each publishes a complete zip (a shared .tmp
+        # would interleave writes and ship a corrupt archive to executors)
+        tmp = f"{zpath}.tmp.{os.getpid()}"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 if "__pycache__" in root:
@@ -984,7 +987,8 @@ def q_minhash_lsh(spark, sf_dir):
 # shiftleft wraps.
 _SIMHASH_ORACLE_CTE = r"""
 toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  SELECT doc_id,
+    unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS tok
   FROM documents),
 th AS (
   SELECT doc_id,
@@ -1177,14 +1181,14 @@ nl AS (SELECT *, sum(label) OVER (PARTITION BY rec_id) AS num_labels
        FROM preds),
 ct AS (
   SELECT class_idx,
-    sum(CASE WHEN label=1 AND output=1 THEN 1.0::DOUBLE/num_labels
-             ELSE 0 END) AS tp,
-    sum(CASE WHEN label=0 AND output=1 THEN 1.0::DOUBLE/num_labels
-             ELSE 0 END) AS fp,
-    sum(CASE WHEN label=1 AND output=0 THEN 1.0::DOUBLE/num_labels
-             ELSE 0 END) AS fn,
-    sum(CASE WHEN label=0 AND output=0 THEN 1.0::DOUBLE/num_labels
-             ELSE 0 END) AS tn
+    sum(CASE WHEN label=1 AND output=1 AND num_labels > 0
+             THEN 1.0::DOUBLE/num_labels ELSE 0 END) AS tp,
+    sum(CASE WHEN label=0 AND output=1 AND num_labels > 0
+             THEN 1.0::DOUBLE/num_labels ELSE 0 END) AS fp,
+    sum(CASE WHEN label=1 AND output=0 AND num_labels > 0
+             THEN 1.0::DOUBLE/num_labels ELSE 0 END) AS fn,
+    sum(CASE WHEN label=0 AND output=0 AND num_labels > 0
+             THEN 1.0::DOUBLE/num_labels ELSE 0 END) AS tn
   FROM nl GROUP BY class_idx)
 SELECT class_idx, round(tp, 6) AS tp, round(fp, 6) AS fp,
   round(fn, 6) AS fn, round(tn, 6) AS tn,
@@ -1221,17 +1225,27 @@ cum AS (
   FROM g WINDOW w AS (PARTITION BY class_idx ORDER BY prob DESC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 r AS (
-  SELECT cum.class_idx, prob,
+  SELECT cum.class_idx, prob, P,
     CASE WHEN P > 0 THEN tp / P ELSE CAST(1 AS DOUBLE) END AS tpr,
     CASE WHEN N > 0 THEN (N - fp) / N ELSE CAST(1 AS DOUBLE) END AS tnr,
     CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
-         ELSE CAST(1 AS DOUBLE) END AS ppv
+         ELSE CAST(1 AS DOUBLE) END AS ppv,
+    row_number() OVER (PARTITION BY cum.class_idx
+                       ORDER BY prob DESC) AS rn
   FROM cum JOIN tot ON cum.class_idx = tot.class_idx),
-seg AS (
+seg AS (  -- virtual threshold 1 only when the top prob isn't already 1;
+          -- its tpr is 0 for P>0 but 1 for a zero-positive class
   SELECT class_idx,
-    0.5 * (tpr - coalesce(lag(tpr) OVER w2, 0))
-        * (tnr + coalesce(lag(tnr) OVER w2, 1)) AS roc,
-    (tpr - coalesce(lag(tpr) OVER w2, 0)) * ppv AS prc
+    CASE WHEN rn = 1 AND prob = 1.0 THEN 0.0 ELSE
+      0.5 * (tpr - (CASE WHEN rn = 1 THEN
+                      (CASE WHEN P > 0 THEN 0.0 ELSE 1.0 END)
+                    ELSE lag(tpr) OVER w2 END))
+          * (tnr + (CASE WHEN rn = 1 THEN 1.0
+                    ELSE lag(tnr) OVER w2 END)) END AS roc,
+    CASE WHEN rn = 1 AND prob = 1.0 THEN 0.0 ELSE
+      (tpr - (CASE WHEN rn = 1 THEN
+                (CASE WHEN P > 0 THEN 0.0 ELSE 1.0 END)
+              ELSE lag(tpr) OVER w2 END)) * ppv END AS prc
   FROM r WINDOW w2 AS (PARTITION BY class_idx ORDER BY prob DESC))
 SELECT class_idx, round(sum(roc), 6) AS auroc, round(sum(prc), 6) AS auprc
 FROM seg GROUP BY class_idx

@@ -425,9 +425,12 @@ def sample_entropy_qrs_np(x: np.ndarray, m_max: int = 3) -> np.ndarray:
 def sample_entropy_qrs_agg(df, value: str = "value", by: str = "entity_id",
                            order: str = "ts", m_max: int = 3):
     """Grouped kernel for the normalized QRS SampEn family (m=0..3)."""
+    # order may be one column or a tie-breaking list, e.g.
+    # ("ts", "event_id") — duplicate timestamps sort deterministically
+    order_cols = [order] if isinstance(order, str) else list(order)
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf.sort_values(order)[value].to_numpy()
+        x = pdf.sort_values(order_cols)[value].to_numpy()
         se = sample_entropy_qrs_np(x, m_max=m_max)
         row = {by: pdf[by].iloc[0]}
         for m in range(0, m_max + 1):
@@ -438,7 +441,8 @@ def sample_entropy_qrs_agg(df, value: str = "value", by: str = "entity_id",
                        (f.dataType.simpleString() for f in df.schema.fields)))[by]
     schema = f"{by} {by_type}, " + ", ".join(
         f"sampen_m{m} double" for m in range(0, m_max + 1))
-    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+    return df.select(by, *order_cols, value).groupBy(by) \
+        .applyInPandas(agg, schema)
 
 
 def sample_entropy_agg(df, value: str = "value", by: str = "entity_id",
@@ -446,9 +450,12 @@ def sample_entropy_agg(df, value: str = "value", by: str = "entity_id",
     """Per-entity SampEn UDAF (U4) via applyInPandas — the reference's only
     genuinely non-relational aggregate (QRS_features.py:59-246, O(n²) state
     machine; here vectorized numpy per group)."""
+    # order may be one column or a tie-breaking list, e.g.
+    # ("ts", "event_id") — duplicate timestamps sort deterministically
+    order_cols = [order] if isinstance(order, str) else list(order)
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf.sort_values(order)[value].to_numpy()
+        x = pdf.sort_values(order_cols)[value].to_numpy()
         se = sample_entropy_np(x, m_max=m_max)
         row = {by: pdf[by].iloc[0]}
         for m in range(1, m_max + 1):
@@ -459,7 +466,8 @@ def sample_entropy_agg(df, value: str = "value", by: str = "entity_id",
                        (f.dataType.simpleString() for f in df.schema.fields)))[by]
     schema = f"{by} {by_type}, " + ", ".join(
         f"sampen{m} double" for m in range(1, m_max + 1))
-    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+    return df.select(by, *order_cols, value).groupBy(by) \
+        .applyInPandas(agg, schema)
 
 
 # ------------------------------------------------------------- periodogram
@@ -483,11 +491,14 @@ def fft_band_power_agg(df, value: str = "value", by: str = "entity_id",
                        bands: list[tuple[float, float]] | None = None):
     """Per-entity spectral band powers (A16/U6): periodogram then band sums.
     Band edges follow the reference's [lo, hi) half-open convention."""
+    # order may be one column or a tie-breaking list, e.g.
+    # ("ts", "event_id") — duplicate timestamps sort deterministically
+    order_cols = [order] if isinstance(order, str) else list(order)
     bands = bands or [(0, 0.05), (0.05, 0.1), (0.1, 0.2),
                       (0.2, 0.3), (0.3, 0.4), (0.4, 0.5)]
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf.sort_values(order)[value].to_numpy()
+        x = pdf.sort_values(order_cols)[value].to_numpy()
         row = {by: pdf[by].iloc[0]}
         if len(x) < 4:
             for i in range(len(bands)):
@@ -505,7 +516,8 @@ def fft_band_power_agg(df, value: str = "value", by: str = "entity_id",
     schema = (f"{by} {by_type}, "
               + ", ".join(f"band{i} double" for i in range(len(bands)))
               + ", total_power double")
-    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+    return df.select(by, *order_cols, value).groupBy(by) \
+        .applyInPandas(agg, schema)
 
 
 def fft_features_agg(df, value: str = "value", by: str = "entity_id",
@@ -518,11 +530,14 @@ def fft_features_agg(df, value: str = "value", by: str = "entity_id",
     edges mapped to bin indices int(f*nfft/fs)), total power (:140-151),
     Shannon entropy of the band distribution (:153-171), and SNR =
     power(<cut)/power(>=cut) (:173-191)."""
+    # order may be one column or a tie-breaking list, e.g.
+    # ("ts", "event_id") — duplicate timestamps sort deterministically
+    order_cols = [order] if isinstance(order, str) else list(order)
     partition_hz = partition_hz or [0, 1.5, 4, 8, 20, 100, fs / 2]
     n_bands = len(partition_hz) - 1
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf.sort_values(order)[value].to_numpy()
+        x = pdf.sort_values(order_cols)[value].to_numpy()
         row = {by: pdf[by].iloc[0]}
         if len(x) < 4:
             for i in range(n_bands):
@@ -549,7 +564,8 @@ def fft_features_agg(df, value: str = "value", by: str = "entity_id",
     schema = (f"{by} {by_type}, "
               + ", ".join(f"band{i} double" for i in range(n_bands))
               + ", total_power double, band_entropy double, snr double")
-    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+    return df.select(by, *order_cols, value).groupBy(by) \
+        .applyInPandas(agg, schema)
 
 
 def wavelet_stat_agg(df, value: str = "value", by: str = "entity_id",
@@ -559,12 +575,15 @@ def wavelet_stat_agg(df, value: str = "value", by: str = "entity_id",
     {max,min,mean,median,std,energy/len} (LONG_features.py:243-262). The
     reference's min_len is 1664 (db7/7 levels on >=1664 samples); shorter
     series zero-fill. 48 feature columns at the default depth."""
+    # order may be one column or a tie-breaking list, e.g.
+    # ("ts", "event_id") — duplicate timestamps sort deterministically
+    order_cols = [order] if isinstance(order, str) else list(order)
     from ecg_feature_engineering_spark.functions import wavelets
 
     n_feats = (level + 1) * 6
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf.sort_values(order)[value].to_numpy()
+        x = pdf.sort_values(order_cols)[value].to_numpy()
         feats = wavelets.wavelet_stat_features(x, n_moments, level, min_len)
         row = {by: pdf[by].iloc[0]}
         for i, v in enumerate(feats):
@@ -575,7 +594,8 @@ def wavelet_stat_agg(df, value: str = "value", by: str = "entity_id",
                        (f.dataType.simpleString() for f in df.schema.fields)))[by]
     schema = (f"{by} {by_type}, "
               + ", ".join(f"wv{i} double" for i in range(n_feats)))
-    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+    return df.select(by, *order_cols, value).groupBy(by) \
+        .applyInPandas(agg, schema)
 
 
 def spectrogram_agg(df, value: str = "value", by: str = "entity_id",
@@ -585,10 +605,13 @@ def spectrogram_agg(df, value: str = "value", by: str = "entity_id",
     spectrogram(nperseg=64) then log). Boxcar window (scipy's default tukey
     taper is approximated; flagged deviation — the engine contract is the
     distributed shape: grouped kernel -> array<array<double>>)."""
+    # order may be one column or a tie-breaking list, e.g.
+    # ("ts", "event_id") — duplicate timestamps sort deterministically
+    order_cols = [order] if isinstance(order, str) else list(order)
     hop = nperseg - noverlap
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf.sort_values(order)[value].to_numpy()
+        x = pdf.sort_values(order_cols)[value].to_numpy()
         segs = []
         for s in range(0, max(len(x) - nperseg + 1, 0), hop):
             _, pxx = periodogram_np(x[s:s + nperseg], fs)
@@ -600,7 +623,8 @@ def spectrogram_agg(df, value: str = "value", by: str = "entity_id",
                        (f.dataType.simpleString() for f in df.schema.fields)))[by]
     schema = (f"{by} {by_type}, n_segments int, "
               "log_spec array<array<double>>")
-    return df.select(by, order, value).groupBy(by).applyInPandas(agg, schema)
+    return df.select(by, *order_cols, value).groupBy(by) \
+        .applyInPandas(agg, schema)
 
 
 def anchor_fiducials_kernel(events, anchors, by: str = "entity_id",

@@ -36,6 +36,14 @@ from ecg_feature_engineering_spark.operators.text import fingerprint
 _MINHASH_PRIME = (1 << 31) - 1
 _MINHASH_SEED = 0x5EED
 
+# SimHash tokenization contract: an EXPLICIT ASCII whitespace class,
+# identical bytes in Java regex (Spark split), RE2 (DuckDB
+# string_split_regex), and Python re — bare \\s means a DIFFERENT set
+# in each (Java \\s has \\x0B, RE2 \\s does not; Python str.split()
+# adds Unicode whitespace), so fingerprints would silently diverge on
+# exotic whitespace without the pinned class.
+_WS_PATTERN = "[ \\t\\n\\x0B\\f\\r]+"
+
 
 def _minhash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(_MINHASH_SEED)
@@ -83,7 +91,7 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_df: int = 100) -> DataFrame:
+                        max_shingle_df: int | None = 100) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
 
     Plan: shingle-explode -> hot-shingle cap -> self-equijoin on shingle
@@ -99,13 +107,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     near-dups). Jaccard is then computed over the surviving "informative"
     shingles on both the intersection AND the size side, so the ratio
     stays a true Jaccard of the capped shingle sets.
+
+    RECALL TRADE: a near-dup CLUSTER larger than the cap shares shingles
+    whose df exceeds it, so such clusters become invisible to this
+    operator. Intended pipeline: run ``dedup_exact`` FIRST (collapses
+    identical copies, which is where >cap clusters usually come from);
+    for large NEAR-identical clusters use ``minhash_lsh_pairs`` (no cap —
+    its candidate blowup is quadratic in cluster size, not corpus size).
+    ``max_shingle_df=None`` disables the cap for exact small-corpus
+    semantics.
     """
     sh = word_shingles(df.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("id"), "shingle")
-    docfreq = sh.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("__df"))
-    sh = (sh.join(docfreq.where(F.col("__df") > max_shingle_df)
-                  .select("shingle"), "shingle", "left_anti"))
+    if max_shingle_df is not None:
+        docfreq = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df"))
+        sh = (sh.join(docfreq.where(F.col("__df") > max_shingle_df)
+                      .select("shingle"), "shingle", "left_anti"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -198,14 +216,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc (Arrow kernel): md5-derived 64-bit hash per
-    token, per-bit +1/-1 vote weighted by token frequency, sign -> bit."""
+    token, per-bit +1/-1 vote weighted by token frequency, sign -> bit.
+    Tokenization uses the engine's explicit ASCII-whitespace class
+    (_WS_PATTERN) so the kernel, the JVM relational twin, and the DuckDB
+    oracle split identically (Java \\s, RE2 \\s, and Python str.split
+    each cover DIFFERENT whitespace sets)."""
     import hashlib
+    import re
+
+    ws = re.compile(_WS_PATTERN)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
             for did, text in zip(batch[id_col], batch[text_col]):
-                toks = str(text).lower().split()
+                toks = [t for t in ws.split(str(text).lower()) if t]
                 votes = np.zeros(64, dtype=np.int64)
                 for t in toks:
                     hv = np.uint64(int.from_bytes(
@@ -244,7 +269,7 @@ def simhash64_relational(df: DataFrame, text_col: str = "text",
     toks = (
         df.select(id_col, text_col)
         .withColumn("tok", F.explode(
-            F.split(F.lower(F.col(text_col)), r"\s+")))
+            F.split(F.lower(F.col(text_col)), _WS_PATTERN)))
         .where(F.length("tok") > 0)
     )
     hx = F.md5(F.encode(F.col("tok"), "UTF-8"))

@@ -35,7 +35,11 @@ def beta_scores(preds: DataFrame, beta: float = 2.0,
     w = Window.partitionBy(rec)
     p = preds.withColumn("__nl", F.sum(label).over(w))
     l, o = F.col(label), F.col(output)
-    contrib = 1.0 / F.col("__nl")
+    # a record with NO positive labels has num_labels 0 — the reference
+    # crashes there (1/0); the engine excludes such records from the
+    # contingency (weight 0) instead of poisoning the sums with inf
+    contrib = F.when(F.col("__nl") > 0, 1.0 / F.col("__nl")) \
+        .otherwise(F.lit(0.0))
     tp = F.sum(F.when((l == 1) & (o == 1), contrib).otherwise(0.0))
     fp = F.sum(F.when((l == 0) & (o == 1), contrib).otherwise(0.0))
     fn = F.sum(F.when((l == 1) & (o == 0), contrib).otherwise(0.0))
@@ -107,15 +111,25 @@ def auc_scores(preds: DataFrame, rec: str = "rec_id", cls: str = "class_idx",
     tnr = F.when(N > 0, (N - fp) / N).otherwise(F.lit(1.0))
     ppv = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(1.0))
     r = (cum.withColumn("__tpr", tpr).withColumn("__tnr", tnr)
-            .withColumn("__ppv", ppv))
-    # virtual leading threshold 1: tp=fp=0 -> tpr 0, tnr 1 (lag defaults)
-    prev_tpr = F.coalesce(F.lag("__tpr").over(w), F.lit(0.0))
-    prev_tnr = F.coalesce(F.lag("__tnr").over(w), F.lit(1.0))
+            .withColumn("__ppv", ppv)
+            .withColumn("__rn", F.row_number().over(w)))
+    # virtual leading threshold 1 — inserted ONLY when the top threshold
+    # isn't already 1 (the reference's `if thresholds[0] != 1` insert). At
+    # the virtual row tp=fp=0, so with the empty-denominator->1 convention
+    # its tpr is 0 for P>0 but 1 for a zero-positive class, and tnr is 1;
+    # when the top prob IS 1 the first row contributes no segment.
+    virt_tpr = F.when(P > 0, F.lit(0.0)).otherwise(F.lit(1.0))
+    first = F.col("__rn") == 1
+    top_is_one = first & (F.col("__p") == 1.0)
+    prev_tpr = F.when(first, virt_tpr).otherwise(F.lag("__tpr").over(w))
+    prev_tnr = F.when(first, F.lit(1.0)).otherwise(F.lag("__tnr").over(w))
     seg = r.select(
         cls,
-        (0.5 * (F.col("__tpr") - prev_tpr)
-         * (F.col("__tnr") + prev_tnr)).alias("__roc"),
-        ((F.col("__tpr") - prev_tpr) * F.col("__ppv")).alias("__prc"),
+        F.when(top_is_one, F.lit(0.0)).otherwise(
+            0.5 * (F.col("__tpr") - prev_tpr)
+            * (F.col("__tnr") + prev_tnr)).alias("__roc"),
+        F.when(top_is_one, F.lit(0.0)).otherwise(
+            (F.col("__tpr") - prev_tpr) * F.col("__ppv")).alias("__prc"),
     )
     return seg.groupBy(cls).agg(
         F.sum("__roc").alias("auroc"),

@@ -43,14 +43,14 @@ def long_features(events: DataFrame, by: str = "user_id",
         *stats.long_stat_aggs(value, prefix="lb_"))
     zcross = stats.crossing_count(events, value, 0.0, by=by, order=order,
                                   out="zero_cross_cnt")
-    fft = kernels.fft_features_agg(events, value, by, order[0], fs=fs,
+    fft = kernels.fft_features_agg(events, value, by, order, fs=fs,
                                    snr_cut_hz=0.1)
     ac = stats.autocorr(events, value, [1, 3], by=by, order=order)
     zz = stats.zigzag(events, value, by=by, order=order, out=_ZIGZAG_COL)
     thres = stats.crossing_width_stats(events, value, by=by, order=order) \
         .withColumnRenamed("n_crossings", "thres_cross_cnt") \
         .withColumnRenamed("mean_width", "thres_cross_mean_width")
-    wav = kernels.wavelet_stat_agg(events, value, by, order[0])
+    wav = kernels.wavelet_stat_agg(events, value, by, order)
 
     out = (basic.join(zcross, by).join(fft, by).join(ac, by)
            .join(zz, by).join(thres, by).join(wav, by))

@@ -207,8 +207,13 @@ def _metric_fixture(spark):
     rng = np.random.default_rng(5)
     n, k = 120, 4
     labels = (rng.random((n, k)) < 0.3).astype(int)
-    labels[labels.sum(axis=1) == 0, 0] = 1  # every record has >= 1 label
+    labels[labels.sum(axis=1) == 0, 0] = 1  # most records have >= 1 label
+    labels[:5] = 0          # ...but 5 are UNLABELED (reference crashes;
+    #                          engine contract: weight 0, excluded)
+    labels[:, 3] = 0        # a zero-positive class (P = 0)
     probs = np.round(rng.random((n, k)), 3)
+    probs[7, 0] = 1.0       # a top threshold exactly 1 (no virtual insert)
+    probs[9, 1] = 1.0
     outputs = (probs >= 0.5).astype(int)
     rows = [(i, j, int(labels[i, j]), int(outputs[i, j]), float(probs[i, j]))
             for i in range(n) for j in range(k)]
@@ -226,6 +231,8 @@ def _beta_score_ref(labels, outputs, beta, k):
         tp = fp = fn = tn = 0.0
         for i in range(n):
             nl = labels[i].sum()
+            if nl == 0:
+                continue  # engine contract: unlabeled records excluded
             if labels[i][j] and outputs[i][j]:
                 tp += 1 / nl
             elif not labels[i][j] and outputs[i][j]:
@@ -348,3 +355,29 @@ def test_feature_matrix_shape_and_standardize(spark, sf_dir):
         assert abs(z[c].mean()) < 1e-9
         sd = z[c].std(ddof=0)
         assert sd == 0 or abs(sd - 1) < 1e-9
+
+
+def test_simhash_whitespace_contract(spark):
+    # Java \s, RE2 \s, and Python str.split() disagree on \x0b and
+    # Unicode spaces; the pinned ASCII class makes kernel == relational
+    # on exactly those inputs
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["foo bar", "a\x0bb c", "x\ty\nz", "p\x0cq\rr"]}))
+    rel = (dedup.simhash64_relational(d).toPandas()
+           .set_index("doc_id")["simhash"].sort_index())
+    ker = (dedup.simhash64(d).toPandas()
+           .set_index("doc_id")["simhash"].sort_index())
+    assert (rel == ker).all()
+
+
+def test_ngram_jaccard_cap_none_exact(spark):
+    boiler = "all rights reserved worldwide today"
+    rows = [(i, f"unique text number {i} {boiler}") for i in range(30)]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    capped = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2,
+                                       max_shingle_df=10).toPandas()
+    exact = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.2,
+                                      max_shingle_df=None).toPandas()
+    assert len(capped) == 0          # boilerplate-only overlap dropped
+    assert len(exact) > 0            # cap=None restores exact semantics
