@@ -39,8 +39,28 @@ from ecg_feature_engineering_spark.session import (  # noqa: E402
 # images/sec measures the ENGINE; staged once to /tmp and scanned
 N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "60000"))
 N_SCALING = int(os.environ.get("BENCH_SCALING_IMAGES", "500000"))
+
+
+def _datagen_version() -> str:
+    """Content hash of the datagen/codec sources — staged corpora are keyed
+    by it so a codec change invalidates the cached corpus instead of
+    silently benchmarking stale payloads."""
+    import hashlib
+
+    h = hashlib.sha256()
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ecg_feature_engineering_spark", "datagen")
+    for fname in sorted(os.listdir(base)):
+        if fname.endswith(".py"):
+            with open(os.path.join(base, fname), "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_DGV = _datagen_version()
 SCALING_STAGE = os.environ.get(
-    "BENCH_SCALING_STAGE", f"/tmp/spark_graft_scaling_images_{N_SCALING}")
+    "BENCH_SCALING_STAGE",
+    f"/tmp/spark_graft_scaling_images_{N_SCALING}_{_DGV}")
 SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
 # scan-partition size for the Python-kernel stage: must be sized by decode
 # CPU cost, not the 128MB JVM default, or the kernel can't parallelize
@@ -270,7 +290,7 @@ def main():
     # measured pipelines read an image table; in-plan datagen would charge
     # image ENCODING to the decode/flagship timings)
     n_entities = max(N_IMAGES // 20, 2)
-    hstage = f"/tmp/spark_graft_headline_images_{N_IMAGES}"
+    hstage = f"/tmp/spark_graft_headline_images_{N_IMAGES}_{_DGV}"
     if not os.path.exists(f"{hstage}/_SUCCESS"):
         datagen.images_df(spark, N_IMAGES, 42, n_entities, parts=32) \
             .write.mode("overwrite").parquet(hstage)

@@ -42,10 +42,23 @@ class StageCheckpointer:
     first incomplete stage.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 params: dict | None = None):
+        """``params``: the job inputs this run depends on (arg values,
+        input paths, corpus sizes). Their hash is stamped into every stage
+        manifest; a resume under DIFFERENT params invalidates the stage
+        instead of silently serving the previous run's data."""
         self.spark = spark
         self.root = root
+        self.params_hash = self._hash_params(params or {})
         os.makedirs(root, exist_ok=True)
+
+    @staticmethod
+    def _hash_params(params: dict) -> str:
+        import hashlib
+
+        blob = json.dumps(params, sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
     def _paths(self, stage: str) -> tuple[str, str]:
         d = os.path.join(self.root, stage)
@@ -57,7 +70,9 @@ class StageCheckpointer:
             return False
         try:
             with open(manifest) as f:
-                return json.load(f).get("status") == "complete"
+                m = json.load(f)
+            return (m.get("status") == "complete"
+                    and m.get("params_hash") == self.params_hash)
         except (json.JSONDecodeError, OSError):
             return False
 
@@ -80,6 +95,7 @@ class StageCheckpointer:
             "status": "complete",
             "stage": stage,
             "run_id": str(uuid.uuid4()),
+            "params_hash": self.params_hash,
             "rows": sum(p["rows"] for p in lineage),
             "n_partitions": len(lineage),
             "partitions": lineage,

@@ -42,7 +42,7 @@ NN_THRESHOLD = 15.0
 BIN_THRESHOLDS = [150.0, 100.0, 50.0]
 
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
@@ -57,7 +57,10 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    key = id(spark.sparkContext)
+    # key by applicationId, not id(sc): CPython reuses freed object
+    # addresses, so after stop/recreate cycles (bench runs ~20 sessions)
+    # a FRESH context could alias a seen id and silently skip addPyFile
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -801,7 +804,7 @@ def q_zigzag(spark, sf_dir):
 # =====================================================================
 @register("word_explode", r"""
 WITH w AS (
-  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents)
 SELECT word, count(*) AS n FROM w WHERE length(word) > 0
 GROUP BY word HAVING count(*) >= 5
@@ -822,7 +825,7 @@ def q_word_explode(spark, sf_dir):
 @register("token_counts", r"""
 SELECT doc_id,
   CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+       ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END::BIGINT
     AS n_tokens_ws,
   ceil(length(text) / 4.0)::BIGINT AS n_tokens_bpe_est,
   length(text)::BIGINT AS n_chars_computed
@@ -841,13 +844,13 @@ def q_token_counts(spark, sf_dir):
 WITH q AS (
   SELECT doc_id, length(text) AS n_chars,
     CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_words,
     length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
       AS n_punct,
     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
     CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+         ELSE len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
            x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
     END AS n_stop
   FROM documents)
@@ -883,13 +886,13 @@ def q_quality(spark, sf_dir):
 @register("langid", r"""
 WITH s AS (
   SELECT doc_id,
-    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
         x -> x IN ('der','die','und','ist'))) AS s_de,
-    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
         x -> x IN ('the','and','of','is'))) AS s_en,
-    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
         x -> x IN ('el','la','de','que'))) AS s_es,
-    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
         x -> x IN ('le','les','et','une'))) AS s_fr
   FROM documents)
 SELECT doc_id,
@@ -913,7 +916,7 @@ def q_langid(spark, sf_dir):
 @register("dedup_exact", r"""
 SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (
-    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
     ORDER BY doc_id) AS rn
   FROM documents) WHERE rn = 1
 """)
@@ -924,7 +927,7 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @register("exact_dup_groups", r"""
-SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fingerprint,
   count(*) AS n_dups,
   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
 FROM documents GROUP BY 1 HAVING count(*) >= 2
@@ -942,7 +945,7 @@ def q_exact_dup_groups(spark, sf_dir):
 @register("ngram_jaccard", r"""
 WITH toks AS (
   SELECT doc_id,
-    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+    regexp_split_to_array(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'),
                           ' ') AS t
   FROM documents),
 sh0 AS (
@@ -1376,13 +1379,16 @@ p AS (  -- all template pairs i<j in ONE self-join; FILTER per (m, A/B)
                                   abs(a.v2 - b.v2)) <= r) AS a2
   FROM t a JOIN t b ON a.user_id = b.user_id AND a.rn < b.rn
   JOIN rr ON rr.user_id = a.user_id
-  GROUP BY a.user_id)
-SELECT user_id,
-  round(CASE WHEN b1 = 0 THEN -2.0 WHEN a1 = 0 THEN -1.0
+  GROUP BY a.user_id),
+base AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT base.user_id,
+  round(CASE WHEN base.n < 4 OR coalesce(b1, 0) = 0 THEN -2.0
+             WHEN coalesce(a1, 0) = 0 THEN -1.0
              ELSE -ln(a1 / b1) END, 6) AS sampen1,
-  round(CASE WHEN b2 = 0 THEN -2.0 WHEN a2 = 0 THEN -1.0
+  round(CASE WHEN base.n < 4 OR coalesce(b2, 0) = 0 THEN -2.0
+             WHEN coalesce(a2, 0) = 0 THEN -1.0
              ELSE -ln(a2 / b2) END, 6) AS sampen2
-FROM p
+FROM base LEFT JOIN p ON base.user_id = p.user_id
 """)
 def q_sample_entropy(spark, sf_dir):
     """U4 — per-entity SampEn m=1,2 grouped Arrow kernel. Oracle: the
@@ -1431,19 +1437,25 @@ px AS (
 @register("fft_band_power", f"""
 WITH {_DFT_CTE}
 SELECT user_id,
-  round(coalesce(sum(pxx) FILTER (WHERE f >= 0   AND f < 0.05), 0), 2)
+  round(CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0   AND f < 0.05), 0) END, 2)
     AS band0,
-  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.05 AND f < 0.1), 0), 2)
+  round(CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.05 AND f < 0.1), 0) END, 2)
     AS band1,
-  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.1 AND f < 0.2), 0), 2)
+  round(CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.1 AND f < 0.2), 0) END, 2)
     AS band2,
-  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.2 AND f < 0.3), 0), 2)
+  round(CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.2 AND f < 0.3), 0) END, 2)
     AS band3,
-  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.3 AND f < 0.4), 0), 2)
+  round(CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.3 AND f < 0.4), 0) END, 2)
     AS band4,
-  round(coalesce(sum(pxx) FILTER (WHERE f >= 0.4 AND f < 0.5), 0), 2)
+  round(CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.4 AND f < 0.5), 0) END, 2)
     AS band5,
-  round(sum(pxx), 2) AS total_power
+  round(CASE WHEN max(n) < 4 THEN 0 ELSE sum(pxx) END, 2) AS total_power
 FROM px GROUP BY user_id
 """)
 def q_fft(spark, sf_dir):
@@ -1708,7 +1720,7 @@ def q_scale_input(spark, sf_dir):
     scaled = F.when(
         v != mu,
         F.signum(v - mu) * F.log10(F.abs(v - mu) + 1) + mu).otherwise(v)
-    out = ev.join(F.broadcast(m), "user_id").select(
+    out = ev.join(m, "user_id").select(
         "event_id", "user_id", scaled.alias("scaled"))
     return _round(out, ["scaled"])
 
@@ -1872,7 +1884,7 @@ def q_anchor_window_aggs(spark, sf_dir):
 @register("fft_features", f"""
 WITH {_DFT_CTE},
 agg AS (
-  SELECT user_id,
+  SELECT user_id, max(n) AS n,
     coalesce(sum(pxx) FILTER (WHERE k >= 0
                               AND k < trunc(1.5 * n)), 0) AS b0,
     coalesce(sum(pxx) FILTER (WHERE k >= trunc(1.5 * n)
@@ -1890,10 +1902,14 @@ agg AS (
     coalesce(sum(pxx) FILTER (WHERE f >= 0.1), 0) AS noise
   FROM px GROUP BY user_id)
 SELECT user_id,
-  round(b0, 2) AS band0, round(b1, 2) AS band1, round(b2, 2) AS band2,
-  round(b3, 2) AS band3, round(b4, 2) AS band4, round(b5, 2) AS band5,
-  round(total, 2) AS total_power,
-  round(CASE WHEN (b0 + b1 + b2 + b3 + b4 + b5) > 0 THEN -(
+  round(CASE WHEN n < 4 THEN 0 ELSE b0 END, 2) AS band0,
+  round(CASE WHEN n < 4 THEN 0 ELSE b1 END, 2) AS band1,
+  round(CASE WHEN n < 4 THEN 0 ELSE b2 END, 2) AS band2,
+  round(CASE WHEN n < 4 THEN 0 ELSE b3 END, 2) AS band3,
+  round(CASE WHEN n < 4 THEN 0 ELSE b4 END, 2) AS band4,
+  round(CASE WHEN n < 4 THEN 0 ELSE b5 END, 2) AS band5,
+  round(CASE WHEN n < 4 THEN 0 ELSE total END, 2) AS total_power,
+  round(CASE WHEN n >= 4 AND (b0 + b1 + b2 + b3 + b4 + b5) > 0 THEN -(
       (CASE WHEN b0 > 0 THEN (b0 / (b0+b1+b2+b3+b4+b5))
                              * ln(b0 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END)
     + (CASE WHEN b1 > 0 THEN (b1 / (b0+b1+b2+b3+b4+b5))
@@ -1907,7 +1923,8 @@ SELECT user_id,
     + (CASE WHEN b5 > 0 THEN (b5 / (b0+b1+b2+b3+b4+b5))
                              * ln(b5 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END))
     ELSE 0 END, 6) AS band_entropy,
-  round(CASE WHEN noise > 0 THEN sig / noise ELSE 0 END, 6) AS snr
+  round(CASE WHEN n >= 4 AND noise > 0 THEN sig / noise ELSE 0 END, 6)
+    AS snr
 FROM agg
 """)
 def q_fft_features(spark, sf_dir):
@@ -2111,17 +2128,22 @@ p AS (
       greatest(abs(a.z0 - b.z0), abs(a.z1 - b.z1), abs(a.z2 - b.z2),
                abs(a.z3 - b.z3)) <= 0.2) AS a3
   FROM t2 a JOIN t2 b ON a.user_id = b.user_id AND a.rn < b.rn
-  GROUP BY a.user_id)
-SELECT user_id,
-  round(CASE WHEN n > 1 AND a0 > 0 THEN -ln(a0 / (n * (n - 1) / 2))
+  GROUP BY a.user_id),
+base AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT base.user_id,
+  round(CASE WHEN base.n >= 8 AND coalesce(a0, 0) > 0
+             THEN -ln(a0 / (base.n * (base.n - 1) / 2))
              ELSE 100.0 END, 6) AS sampen_m0,
-  round(CASE WHEN b1 > 0 AND a1 > 0 THEN -ln(a1 / b1)
+  round(CASE WHEN base.n >= 8 AND coalesce(b1, 0) > 0
+              AND coalesce(a1, 0) > 0 THEN -ln(a1 / b1)
              ELSE 100.0 END, 6) AS sampen_m1,
-  round(CASE WHEN b2 > 0 AND a2 > 0 THEN -ln(a2 / b2)
+  round(CASE WHEN base.n >= 8 AND coalesce(b2, 0) > 0
+              AND coalesce(a2, 0) > 0 THEN -ln(a2 / b2)
              ELSE 100.0 END, 6) AS sampen_m2,
-  round(CASE WHEN b3 > 0 AND a3 > 0 THEN -ln(a3 / b3)
+  round(CASE WHEN base.n >= 8 AND coalesce(b3, 0) > 0
+              AND coalesce(a3, 0) > 0 THEN -ln(a3 / b3)
              ELSE 100.0 END, 6) AS sampen_m3
-FROM p
+FROM base LEFT JOIN p ON base.user_id = p.user_id
 """)
 def q_sample_entropy_qrs(spark, sf_dir):
     """A11 — normalized SampEn m=0..3 with the None->100 patch

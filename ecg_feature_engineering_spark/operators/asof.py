@@ -118,9 +118,10 @@ def asof_join_many(
 
     ``rights``: each ``{"df": DataFrame, "on": ts_col (default ``on``),
     "suffix": str, "match_ts": output name for the matched right ts or
-    None}``. Each right table's payload columns are filled independently:
-    ``last(col, ignorenulls=True)`` skips the other sources' rows because
-    their slots are null there, so per-column matches are per-source exact.
+    None}``. Each right table's payload is packed into ONE struct and the
+    struct is filled (``last(ignorenulls)``) — per-source exact matches,
+    and a NULL inside the matched row stays NULL (a column-by-column fill
+    would backfill it from an older row).
 
     This is the flagship-plan shape (plans/flagship.py): image features and
     event features both as-of joined to the snapshot grid — at 10^12 rows
@@ -161,7 +162,7 @@ def asof_join_many(
             fill.append((mts, i, None, ts_type))
 
     l_tagged = left.select(
-        *left_cols, F.lit(1).alias(_SIDE),
+        *left_cols, F.lit(1).alias(_SIDE), F.lit(-1).alias("__src"),
         *[F.lit(None).cast(dt).alias(oc) for oc, _, _, dt in fill])
     parts = [l_tagged]
     for i, (rdf, r_on, vcols, mts) in enumerate(specs):
@@ -174,6 +175,7 @@ def asof_join_many(
             else:
                 sel.append(F.lit(None).cast(left.schema[c].dataType).alias(c))
         sel.append(F.lit(0).alias(_SIDE))
+        sel.append(F.lit(i).alias("__src"))
         for oc, si, rc, dt in fill:
             if si != i:
                 sel.append(F.lit(None).cast(dt).alias(oc))
@@ -187,16 +189,33 @@ def asof_join_many(
     for p in parts[1:]:
         u = u.unionByName(p)
 
+    # one struct pack PER SOURCE (see _asof_union_window: column-by-column
+    # fill would replace a matched row's NULL value with an older row's)
+    src_cols: dict[int, list[str]] = {}
+    for oc, si, _, _ in fill:
+        src_cols.setdefault(si, []).append(oc)
+    for i, cols in src_cols.items():
+        u = u.withColumn(
+            f"__pack{i}",
+            F.when(F.col("__src") == i,
+                   F.struct(*[F.col(c).alias(c) for c in cols])))
+
     out_cols = [oc for oc, _, _, _ in fill]
     w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(_SIDE).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    keep = [c for c in u.columns if c not in out_cols and c != _SIDE]
+    keep = [c for c in u.columns
+            if c not in out_cols and c not in (_SIDE, "__src")
+            and not c.startswith("__pack")]
+    filled = u.select(
+        *keep, F.col(_SIDE),
+        *[F.last(f"__pack{i}", ignorenulls=True).over(w)
+          .alias(f"__pf{i}") for i in src_cols])
+    extract = []
+    for oc, si, _, _ in fill:
+        extract.append(F.col(f"__pf{si}").getField(oc).alias(oc))
     return (
-        u.select(*keep, F.col(_SIDE),
-                 *[F.last(c, ignorenulls=True).over(w).alias(c)
-                   for c in out_cols])
-        .where(F.col(_SIDE) == 1)
-        .drop(_SIDE)
+        filled.where(F.col(_SIDE) == 1)
+        .select(*keep, *extract)
     )
 
 
@@ -225,21 +244,33 @@ def _asof_union_window(left, right, on, by, right_on, direction, tolerance,
     u = l_tagged.unionByName(r_tagged)
 
     fill_cols = [_RTS] + [oc for _, oc in vcols]
+    # fill the right payload as ONE struct, not column-by-column: the
+    # struct is non-null for every right row even when its members are
+    # null, so a NULL value in the matched row stays NULL instead of being
+    # back-filled from an older row — (match_ts, values) always come from
+    # the SAME matched right row (and the tolerance gate below therefore
+    # nulls values that belong to the ts it checks)
+    pack = F.when(F.col(_SIDE) == 0,
+                  F.struct(*[F.col(c).alias(c) for c in fill_cols]))
+    u = u.withColumn("__pack", pack)
     if direction == "backward":
         # right rows sort BEFORE probe rows at equal ts -> inclusive <=
         w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(_SIDE).asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        filled = [F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols]
+        filled = F.last("__pack", ignorenulls=True).over(w)
     else:
         # probe rows sort BEFORE right rows at equal ts -> inclusive >=
         w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col(_SIDE).desc())
              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        filled = [F.first(c, ignorenulls=True).over(w).alias(c) for c in fill_cols]
+        filled = F.first("__pack", ignorenulls=True).over(w)
 
-    keep = [c for c in u.columns if c not in fill_cols and c != _SIDE]
-    out = (u.select(*keep, F.col(_SIDE), *filled)
+    keep = [c for c in u.columns
+            if c not in fill_cols and c not in (_SIDE, "__pack")]
+    out = (u.select(*keep, F.col(_SIDE), filled.alias("__pf"))
             .where(F.col(_SIDE) == 1)
-            .drop(_SIDE))
+            .select(*keep,
+                    *[F.col("__pf").getField(c).alias(c)
+                      for c in fill_cols]))
 
     if tolerance is not None:
         gap_ok = (
@@ -310,6 +341,12 @@ def _asof_union_window_bucketed(left, right, on, by, right_on, direction,
 
     fill_cols = [_RTS] + [oc for _, oc in vcols]
     backward = direction == "backward"
+    # single struct pack (see _asof_union_window: per-column fill would
+    # backfill a matched row's NULL members from older rows)
+    u = u.withColumn(
+        "__pack",
+        F.when(F.col(_SIDE) == 0,
+               F.struct(*[F.col(c).alias(c) for c in fill_cols])))
     side_order = F.col(_SIDE).asc() if backward else F.col(_SIDE).desc()
     w_in = Window.partitionBy(*by, "__bkt").orderBy(F.col(on).asc(),
                                                     side_order)
@@ -319,34 +356,29 @@ def _asof_union_window_bucketed(left, right, on, by, right_on, direction,
     fill_in = (F.last if backward else F.first)
 
     within = u.select(
-        "*",
-        *[fill_in(c, ignorenulls=True).over(w_in).alias(f"__in_{c}")
-          for c in fill_cols],
-    )
+        "*", fill_in("__pack", ignorenulls=True).over(w_in).alias("__in"))
 
-    # per-bucket summaries: the value a later (earlier, for forward) bucket
-    # would inherit — i.e. the bucket's last (first) non-null per column
+    # per-bucket summaries: the pack a later (earlier, for forward) bucket
+    # would inherit — i.e. the bucket's last (first) right pack
     pick = F.max_by if backward else F.min_by
     order_key = F.struct(sec.alias("s"), F.col(_SIDE).alias("d"))
     summaries = u.groupBy(*by, "__bkt").agg(
-        *[pick(F.col(c), F.when(F.col(c).isNotNull(), order_key))
-          .alias(f"__b_{c}") for c in fill_cols])
+        pick(F.col("__pack"),
+             F.when(F.col("__pack").isNotNull(), order_key)).alias("__b"))
     w_carry = Window.partitionBy(*by).orderBy(
         F.col("__bkt").asc() if backward else F.col("__bkt").desc())
     w_carry = w_carry.rowsBetween(Window.unboundedPreceding, -1)
     carries = summaries.select(
         *by, "__bkt",
-        *[F.last(f"__b_{c}", ignorenulls=True).over(w_carry)
-          .alias(f"__carry_{c}") for c in fill_cols],
-    )
+        F.last("__b", ignorenulls=True).over(w_carry).alias("__carry"))
 
     out = (
         within.where(F.col(_SIDE) == 1)
         .join(carries, on=[*by, "__bkt"], how="left")
+        .withColumn("__pf", F.coalesce(F.col("__in"), F.col("__carry")))
         .select(
             *[c for c in left_cols],
-            *[F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}"))
-              .alias(c) for c in fill_cols],
+            *[F.col("__pf").getField(c).alias(c) for c in fill_cols],
         )
     )
 

@@ -28,7 +28,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ecg_feature_engineering_spark.operators.text import fingerprint
+from ecg_feature_engineering_spark.operators.text import (
+    WS_PATTERN,
+    fingerprint,
+)
 
 # k affine minhash permutations h_i(x) = (a_i*x + b_i) mod p over a 31-bit
 # Mersenne prime: with x, a < 2^31 the product stays < 2^62, inside int64 —
@@ -42,7 +45,7 @@ _MINHASH_SEED = 0x5EED
 # in each (Java \\s has \\x0B, RE2 \\s does not; Python str.split()
 # adds Unicode whitespace), so fingerprints would silently diverge on
 # exotic whitespace without the pinned class.
-_WS_PATTERN = "[ \\t\\n\\x0B\\f\\r]+"
+_WS_PATTERN = WS_PATTERN  # canonical definition: operators/text.py
 
 
 def _minhash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -81,7 +84,8 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   out: str = "shingle") -> DataFrame:
     """Distinct word n-gram shingles per doc (lowercased, ws-normalized).
     Docs shorter than n words produce their full token join as one shingle."""
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    toks = F.split(F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), WS_PATTERN, " "), " ")
     n_tok = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
@@ -134,9 +138,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.join(F.broadcast(sizes).withColumnRenamed("id", "id_a")
+        inter.join(sizes.withColumnRenamed("id", "id_a")
                    .withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(F.broadcast(sizes).withColumnRenamed("id", "id_b")
+        .join(sizes.withColumnRenamed("id", "id_b")
               .withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("jaccard", F.col("inter")
                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))

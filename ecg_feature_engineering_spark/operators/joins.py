@@ -16,7 +16,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _sec(c: Column) -> Column:
+def _sec(df: DataFrame, col_name: str) -> Column:
+    """Numeric seconds for bucket ids — tz-independent for TIMESTAMP_NTZ.
+    A cast-through-timestamp on NTZ is session-tz-dependent AND
+    non-monotonic across DST transitions, so a qualifying event could
+    bucket outside [b_lo, b_hi] and silently drop from the equi-join."""
+    from ecg_feature_engineering_spark.operators.windows import (
+        ntz_epoch_seconds,
+    )
+    t = df.schema[col_name].dataType.simpleString()
+    c = F.col(col_name)
+    if t == "timestamp_ntz":
+        return ntz_epoch_seconds(c)
     return c.cast("timestamp").cast("double")
 
 
@@ -64,14 +75,14 @@ def interval_join(
             on=[*by, anchor_key], how="left_anti")
         return inner.unionByName(unmatched, allowMissingColumns=True)
 
-    b_lo = F.floor(_sec(F.col(lo)) / bucket_seconds).cast("long")
-    b_hi = F.floor(_sec(F.col(hi)) / bucket_seconds).cast("long")
+    b_lo = F.floor(_sec(anchors, lo) / bucket_seconds).cast("long")
+    b_hi = F.floor(_sec(anchors, hi) / bucket_seconds).cast("long")
     a = anchors.withColumn("__bucket",
                            F.explode(F.sequence(b_lo, b_hi)))
     e = events.select(
         *by,
         *[F.col(c).alias(rename.get(c, c)) for c in ev_cols],
-        F.floor(_sec(F.col(event_ts)) / bucket_seconds).cast("long")
+        F.floor(_sec(events, event_ts) / bucket_seconds).cast("long")
         .alias("__bucket"),
     )
     ets = rename.get(event_ts, event_ts)

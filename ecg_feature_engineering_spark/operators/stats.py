@@ -277,7 +277,7 @@ def qrs_yuxi(df: DataFrame, value: str = "value", by="entity_id",
         | near(fwd, 2) | near(fwd, 3) | near(bwd, 2) | near(bwd, 3)
     )
     return (
-        df.join(F.broadcast(med), on=by)
+        df.join(med, on=by)
         .select(*by, matched.cast("int").alias("__m"))
         .groupBy(*by).agg(F.avg("__m").alias(out))
     )
@@ -300,7 +300,7 @@ def crossing_width_stats(df: DataFrame, value: str, by="entity_id",
     w = entity_window(by, order)
     if threshold is None:
         th_df = df.groupBy(*by).agg(F.avg(value).alias("__th"))
-        df = df.join(F.broadcast(th_df), on=by)
+        df = df.join(th_df, on=by)
         th = F.col("__th")
     else:
         th = F.lit(threshold) if isinstance(threshold, (int, float)) \
@@ -363,7 +363,7 @@ def mad(df: DataFrame, value: str, by="entity_id", out: str = "mad") -> DataFram
     by = [by] if isinstance(by, str) else list(by)
     med = df.groupBy(*by).agg(pctl(value, 50).alias("__med"))
     return (
-        df.join(F.broadcast(med), on=by)
+        df.join(med, on=by)
         .groupBy(*by)
         .agg(pctl(F.abs(F.col(value) - F.col("__med")), 50).alias(out))
     )

@@ -13,6 +13,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Tokenization contract: one EXPLICIT ASCII whitespace class, identical
+# bytes in Java regex (Spark split), RE2 (DuckDB oracles), and Python
+# re — bare \\s means a DIFFERENT set in each (Java \\s has \\x0B, RE2
+# \\s does not), so engine-vs-oracle token counts would silently
+# diverge on exotic whitespace.
+WS_PATTERN = "[ \\t\\n\\x0B\\f\\r]+"
+
 STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "is"),
@@ -26,7 +33,7 @@ def words(text: Column) -> Column:
     """Whitespace tokenization; empty/blank text -> empty array (not [''])."""
     return F.when(
         F.length(F.trim(text)) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(text), r"\s+"))
+    ).otherwise(F.split(F.trim(text), WS_PATTERN))
 
 
 def token_count(text: Column) -> Column:
@@ -101,5 +108,5 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """Document fingerprint: md5 of the whitespace-normalized lowercase text.
     md5 is engine-portable (same string in Spark and DuckDB) — unlike
     xxhash64 — so fingerprints survive cross-engine pipelines."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PATTERN, " ")
     return df.withColumn(out, F.md5(norm))

@@ -49,7 +49,9 @@ def main() -> None:
     spark = SparkSession.getActiveSession() or get_spark("flagship-job")
     from ecg_feature_engineering_spark import contract as _c
     _c.ensure_workers_can_import(spark)
-    cp = StageCheckpointer(spark, args.checkpoint_root)
+    cp = StageCheckpointer(spark, args.checkpoint_root,
+                           params=vars(args))  # rerun with different
+    # inputs invalidates stages instead of serving the old run's data
     n_entities = max(args.n_images // 20, 2)
 
     def load_images():

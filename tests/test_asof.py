@@ -194,3 +194,28 @@ def test_bucketed_tolerance(spark):
     np.testing.assert_allclose(a["rval"].to_numpy(float),
                                b["rval"].to_numpy(float),
                                rtol=0, atol=0, equal_nan=True)
+
+
+def test_asof_null_payload_stays_null_all_strategies(spark):
+    """A NULL in the MATCHED right row must stay NULL (a column-by-column
+    ignorenulls fill used to backfill it from an older row, making
+    (match_ts, value) internally inconsistent)."""
+    import pandas as pd
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["e"], "ts": pd.to_datetime(["2024-01-01 00:03"])}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["e", "e"],
+        "ts": pd.to_datetime(["2024-01-01 00:01", "2024-01-01 00:02"]),
+        "v": [5.0, None]}))
+    for strat in ("union_window", "union_window_bucketed", "merge_asof"):
+        out = asof.asof_join(left, right, by="entity_id", strategy=strat,
+                             keep_match_ts="mts",
+                             bucket_seconds=60.0).collect()[0]
+        assert out["v"] is None, strat
+        assert out["mts"] == pd.Timestamp("2024-01-01 00:02"), strat
+    out = asof.asof_join_many(
+        left, [{"df": right, "suffix": "_r", "match_ts": "mts"}],
+        by="entity_id").collect()[0]
+    assert out["v"] is None and out["mts"] == pd.Timestamp(
+        "2024-01-01 00:02")
