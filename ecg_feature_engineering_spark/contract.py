@@ -975,13 +975,64 @@ def q_ngram_jaccard(spark, sf_dir):
     return _round(out, ["jaccard"])
 
 
-@register("minhash_lsh")  # xxhash64 signatures — no portable SQL oracle
+# Generated DuckDB twin of the full MinHash+LSH pipeline (md5 hash mode):
+# same shingles, same 64 affine permutations (shared seeded constants),
+# same 16-band bucketing and verify-estimate.
+def _minhash_oracle_sql() -> str:
+    a, b = dedup._minhash_params(64)
+    p = dedup._MINHASH_PRIME
+    mins = ",\n    ".join(
+        f"min((x * {int(a[i])} + {int(b[i])}) % {p}) AS mh{i}"
+        for i in range(64))
+    bandsel = "\n  UNION ALL\n".join(
+        "  SELECT id, {bi} AS band, concat_ws('_', {keys}) AS key FROM sig"
+        .format(bi=bi, keys=", ".join(
+            f"mh{bi * 4 + j}::VARCHAR" for j in range(4)))
+        for bi in range(16))
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(64))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    string_split(regexp_replace(lower(trim(text)),
+                                '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+hx AS (
+  SELECT id,
+    CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {p} AS x
+  FROM sh),
+sig AS (
+  SELECT id,
+    {mins}
+  FROM hx GROUP BY id),
+banded AS (
+{bandsel}),
+cand AS (
+  SELECT DISTINCT xx.id AS id_a, yy.id AS id_b
+  FROM banded xx JOIN banded yy
+    ON xx.band = yy.band AND xx.key = yy.key AND xx.id < yy.id)
+SELECT id_a, id_b, round(({eq}) / 64.0, 6) AS jaccard_est
+FROM cand
+JOIN sig sa ON sa.id = id_a
+JOIN sig sb ON sb.id = id_b
+WHERE ({eq}) / 64.0 >= 0.5
+"""
+
+
+@register("minhash_lsh", _minhash_oracle_sql())
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (rows-only check; numeric oracle vs
-    true Jaccard in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup candidates — certified end to end against the
+    generated DuckDB twin in md5-hash mode (same seeded permutations,
+    banding, and verify estimate; xxhash64 stays the production default,
+    its estimate-vs-true-Jaccard bound covered in tests)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, "text", "doc_id", n=3, k=64, bands=16,
-                                   threshold=0.5)
+    out = dedup.minhash_lsh_pairs(d, "text", "doc_id", n=3, k=64, bands=16,
+                                  threshold=0.5, hash="md5")
+    return _round(out, ["jaccard_est"])
 
 
 # DuckDB twin of dedup.simhash64_relational: same md5 token hash, same
@@ -1050,13 +1101,24 @@ def q_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("long"))
 
 
-@register("hash_split")  # xxhash64 — determinism asserted in tests/
+@register("hash_split", """
+SELECT doc_id,
+  CASE WHEN (doc_id * 2654435761 + 42) % 10000 < 8000 THEN 'train'
+       WHEN (doc_id * 2654435761 + 42) % 10000 < 9000 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""")
 def q_hash_split(spark, sf_dir):
-    """O7 — deterministic hash train/val/test split (80/10/10)."""
+    """O7 — deterministic hash train/val/test split (80/10/10). The
+    cumulative-weight bucket->split mapping is certified against the
+    oracle via a portable multiplicative bucket hash (the production
+    default stays xxhash64 — covered by determinism tests)."""
     d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(42),
+                    F.lit(10_000))
     return splits.hash_split(
-        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
-        "doc_id", "split")
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        bucket_expr=bucket).select("doc_id", "split")
 
 
 # =====================================================================

@@ -151,13 +151,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       k: int = 64) -> DataFrame:
+                       k: int = 64, hash: str = "xx") -> DataFrame:
     """k-permutation MinHash signature per doc. Shingles are hashed to int64
-    with xxhash64 (JVM-side), then the k affine permutations + per-doc min
-    run in one grouped aggregate — map-side partial min, single shuffle."""
+    (JVM-side), then the k affine permutations + per-doc min run in one
+    grouped aggregate — map-side partial min, single shuffle.
+
+    ``hash``: 'xx' (xxhash64 — the fast production default) or 'md5'
+    (first 32 md5 bits via conv — slower but byte-identical in DuckDB,
+    enabling a full SQL oracle for the LSH pipeline)."""
     a, b = _minhash_params(k)
     sh = word_shingles(df.select(id_col, text_col), text_col, n)
-    x = F.abs(F.xxhash64("shingle")) % F.lit(_MINHASH_PRIME)
+    if hash == "md5":
+        hx = F.md5(F.encode(F.col("shingle"), "UTF-8"))
+        x = (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+             % F.lit(_MINHASH_PRIME))
+    else:
+        x = F.abs(F.xxhash64("shingle")) % F.lit(_MINHASH_PRIME)
     mins = [
         F.min((x * F.lit(int(a[i])) + F.lit(int(b[i]))) % F.lit(_MINHASH_PRIME))
         .alias(f"mh{i}")
@@ -168,7 +177,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3, k: int = 64,
-                      bands: int = 16, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 16, threshold: float = 0.5,
+                      hash: str = "xx") -> DataFrame:
     """MinHash+LSH near-dup candidates: band the k-sig into ``bands`` groups
     of r = k/bands rows, bucket-join on (band_idx, band_signature), then
     verify candidates with the estimated Jaccard (fraction of equal minhashes).
@@ -177,7 +187,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     — only same-bucket collisions shuffle.
     """
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    sig = minhash_signatures(df, text_col, id_col, n, k, hash=hash)
     band_structs = F.array(*[
         F.struct(F.lit(bi).alias("band"),
                  F.concat_ws("_", *[F.col(f"mh{bi * r + j}").cast("string")

@@ -13,13 +13,17 @@ from pyspark.sql import functions as F
 
 
 def hash_split(df: DataFrame, id_col: str, weights: dict[str, float],
-               seed: int = 42, out: str = "split") -> DataFrame:
+               seed: int = 42, out: str = "split",
+               bucket_expr: Column | None = None) -> DataFrame:
     """Reproducible, join-free split assignment: bucket = xxhash64(id, seed)
     mod 10_000, mapped to named splits by cumulative weight. Unlike
     randomSplit this is stable under repartitioning and resumable reruns
-    (north-rule resumability: re-running assigns identical splits)."""
+    (north-rule resumability: re-running assigns identical splits).
+    ``bucket_expr`` overrides the bucket with any integer expression in
+    [0, 10000) — e.g. a multiplicative hash portable to SQL oracles."""
     total = sum(weights.values())
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000))
+    bucket = (bucket_expr if bucket_expr is not None else
+              F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10_000)))
     expr: Column | None = None
     acc = 0.0
     items = list(weights.items())

@@ -32,7 +32,13 @@ def frames(draw):
         # coarse second grid -> plenty of duplicate/equal-ts collisions
         secs = draw(st.lists(st.integers(0, 50), min_size=n_rows,
                              max_size=n_rows))
-        vals = [round(i * 0.5, 1) for i in range(n_rows)]  # distinct values
+        # distinct values, with random NULLs (the matched row's NULL must
+        # survive — regression for the per-column ignorenulls backfill bug)
+        null_at = draw(st.lists(st.booleans(), min_size=n_rows,
+                                max_size=n_rows))
+        vals = [None if (null_at[i] and i > 0) else round(i * 0.5, 1)
+                for i in range(n_rows)]  # row 0 non-null: keeps the
+        #                                   column's inferred type stable
         return pd.DataFrame({
             "entity_id": [f"e{e}" for e in ents],
             "ts": [base + pd.Timedelta(seconds=s) for s in secs],
