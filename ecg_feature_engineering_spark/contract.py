@@ -602,9 +602,11 @@ def q_rolling(spark, sf_dir):
 
 @register("rolling_median3", """
 SELECT event_id, user_id,
-  round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS value_med3
+  round(CASE WHEN count(*) OVER w3 = count(value) OVER w3
+             THEN median(value) OVER w3 END, 6) AS value_med3
 FROM events
+WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
 """)
 def q_rolling_median3(spark, sf_dir):
     """W2 — centered 3-point rolling median (QRS_features.py:20-27)."""
@@ -824,8 +826,7 @@ def q_word_explode(spark, sf_dir):
 
 @register("token_counts", r"""
 SELECT doc_id,
-  CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END::BIGINT
+  len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))::BIGINT
     AS n_tokens_ws,
   ceil(length(text) / 4.0)::BIGINT AS n_tokens_bpe_est,
   length(text)::BIGINT AS n_chars_computed
@@ -843,16 +844,15 @@ def q_token_counts(spark, sf_dir):
 @register("quality_features", r"""
 WITH q AS (
   SELECT doc_id, length(text) AS n_chars,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_words,
+    len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                    x -> x <> '')) AS n_words,
     length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
       AS n_punct,
     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
-    CASE WHEN length(trim(text)) = 0 THEN 0
-         ELSE len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
+    len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
            x -> x IN ('the','and','of','to','a','in','is','it','for','on')))
-    END AS n_stop
+      AS n_stop
   FROM documents)
 SELECT doc_id,
   n_chars::BIGINT AS n_chars_q,
@@ -916,7 +916,7 @@ def q_langid(spark, sf_dir):
 @register("dedup_exact", r"""
 SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (
-    PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+    PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
     ORDER BY doc_id) AS rn
   FROM documents) WHERE rn = 1
 """)
@@ -927,7 +927,7 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @register("exact_dup_groups", r"""
-SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fingerprint,
+SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint,
   count(*) AS n_dups,
   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
 FROM documents GROUP BY 1 HAVING count(*) >= 2
@@ -945,7 +945,7 @@ def q_exact_dup_groups(spark, sf_dir):
 @register("ngram_jaccard", r"""
 WITH toks AS (
   SELECT doc_id,
-    regexp_split_to_array(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'),
+    regexp_split_to_array(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')),
                           ' ') AS t
   FROM documents),
 sh0 AS (
@@ -995,8 +995,8 @@ def _minhash_oracle_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-    string_split(regexp_replace(lower(trim(text)),
-                                '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS t
+    string_split(trim(regexp_replace(lower(text),
+                                     '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
   FROM documents),
 sh AS (
   SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle

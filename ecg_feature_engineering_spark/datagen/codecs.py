@@ -110,8 +110,11 @@ def decode_png(data: bytes) -> np.ndarray:
         if f == 1:  # Sub
             for x in range(1, w):
                 px[y, x] = (px[y, x] + px[y, x - 1]) & 0xFF
-        elif f == 2:  # Up
-            px[y] = (px[y] + px[y - 1]) & 0xFF
+        elif f == 2:  # Up — the prior scanline is ALL ZEROS at y=0 (PNG
+            # spec); px[y-1] would numpy-wrap to the last (still-filtered)
+            # row and silently corrupt the decode
+            if y > 0:
+                px[y] = (px[y] + px[y - 1]) & 0xFF
         else:  # pragma: no cover
             raise ValueError(f"unsupported PNG filter {f}")
     return px.astype(np.uint8)

@@ -84,8 +84,8 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   out: str = "shingle") -> DataFrame:
     """Distinct word n-gram shingles per doc (lowercased, ws-normalized).
     Docs shorter than n words produce their full token join as one shingle."""
-    toks = F.split(F.regexp_replace(
-        F.lower(F.trim(F.col(text_col))), WS_PATTERN, " "), " ")
+    toks = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), WS_PATTERN, " ")), " ")
     n_tok = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))

@@ -137,12 +137,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     are |corpus|*n_probe/n_lists instead of |corpus|. The quantizer trains
     on a bounded sample (``max_train``) so training never scans 10^12 rows.
     """
-    import numpy as np  # noqa: F811
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = (corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-             .limit(max_train))
+    # deterministic bounded sample: a bare limit() takes whichever
+    # partitions answer first, so centroids (and hence the ANN results)
+    # would differ between runs; TakeOrderedAndProject on the id is
+    # O(n log max_train) with no full sort
+    train = (corpus.orderBy(id_col).limit(max_train)
+             .select(array_to_vector(F.col(vec_col)).alias("features")))
     km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
     centroids = np.stack([np.asarray(c) for c in km.clusterCenters()])
     cnorm = centroids / np.maximum(
@@ -203,6 +206,9 @@ def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
     return (
         pairs.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b",
-                F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"))
+                cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        # threshold on the TRUE cosine; rounding is output formatting only
+        # (filtering the rounded value would flip borderline pairs)
         .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

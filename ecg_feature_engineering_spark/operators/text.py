@@ -30,10 +30,11 @@ _LANG_MARKERS = {
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization; empty/blank text -> empty array (not [''])."""
-    return F.when(
-        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(text), WS_PATTERN))
+    """Whitespace tokenization; empty/blank text -> empty array (not ['']).
+    Split-then-filter, NOT trim-then-split: F.trim strips only ASCII
+    spaces, so tab/newline-padded text would produce phantom empty tokens
+    (and the blank guard would miss a bare tab)."""
+    return F.filter(F.split(text, WS_PATTERN), lambda x: x != "")
 
 
 def token_count(text: Column) -> Column:
@@ -108,5 +109,9 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """Document fingerprint: md5 of the whitespace-normalized lowercase text.
     md5 is engine-portable (same string in Spark and DuckDB) — unlike
     xxhash64 — so fingerprints survive cross-engine pipelines."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PATTERN, " ")
+    # normalize FIRST, trim second: trim only strips ASCII spaces, so a
+    # tab-padded doc would otherwise fingerprint differently from its
+    # space-padded twin
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   WS_PATTERN, " "))
     return df.withColumn(out, F.md5(norm))

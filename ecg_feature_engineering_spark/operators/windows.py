@@ -136,14 +136,26 @@ def rolling_median3(df: DataFrame, value: str, by="entity_id", order="ts",
 
     Spark disallows ``median`` with a window frame, so the 3-point median is
     closed-form: med3(a,b,c) = greatest(least(a,b), least(greatest(a,b), c))
-    — pure codegen-able expressions, no kernel."""
+    — pure codegen-able expressions, no kernel.
+
+    NULL contract (numpy parity): a null VALUE inside the frame makes the
+    result null (np.median with NaN is NaN). Frame boundaries are detected
+    by row position, not lag-null, so a null value is never mistaken for
+    an entity edge (greatest/least silently SKIP nulls, which would
+    otherwise return a neighbor instead)."""
     w = entity_window(by, order)
+    by_l = [by] if isinstance(by, str) else list(by)
+    full = Window.partitionBy(*by_l)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(full)
     a, b, c = F.lag(value).over(w), F.col(value), F.lead(value).over(w)
-    med3 = F.greatest(F.least(a, b), F.least(F.greatest(a, b), c))
+    med3 = F.when(a.isNull() | b.isNull() | c.isNull(),
+                  F.lit(None)).otherwise(
+        F.greatest(F.least(a, b), F.least(F.greatest(a, b), c)))
     expr = (
-        F.when(a.isNull() & c.isNull(), b)
-        .when(a.isNull(), (b + c) / 2)
-        .when(c.isNull(), (a + b) / 2)
+        F.when((rn == 1) & (rn == n), b)
+        .when(rn == 1, (b + c) / 2)
+        .when(rn == n, (a + b) / 2)
         .otherwise(med3)
     )
     return df.withColumn(out or f"{value}_med3", expr)
@@ -163,6 +175,16 @@ def trim_endpoints(df: DataFrame, by="entity_id", order="ts",
     )
 
 
+def _duration(seconds: float, what: str) -> str:
+    """Sub-second-capable duration string for F.window — int() truncation
+    would silently turn 90.9 s into 90 s and 0.5 s into an invalid
+    '0 seconds'."""
+    ms = round(seconds * 1000)
+    if ms <= 0:
+        raise ValueError(f"{what} must be positive, got {seconds}")
+    return f"{int(ms)} milliseconds"
+
+
 def tumbling_time_aggs(df: DataFrame, length_seconds: float,
                        value: str = "value", by="entity_id",
                        order: str = "ts") -> DataFrame:
@@ -172,7 +194,7 @@ def tumbling_time_aggs(df: DataFrame, length_seconds: float,
     by = [by] if isinstance(by, str) else list(by)
     # window() accepts TIMESTAMP_NTZ directly and aligns in naive time —
     # session-tz-independent (verified under a non-UTC session)
-    win = F.window(F.col(order), f"{int(length_seconds)} seconds")
+    win = F.window(F.col(order), _duration(length_seconds, "length"))
     return (
         df.groupBy(*by, win.alias("__w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -193,8 +215,8 @@ def sliding_time_aggs(df: DataFrame, length_seconds: float,
     Rows fan out to length/slide windows — explicit, bounded cost."""
     by = [by] if isinstance(by, str) else list(by)
     win = F.window(F.col(order),
-                   f"{int(length_seconds)} seconds",
-                   f"{int(slide_seconds)} seconds")
+                   _duration(length_seconds, "length"),
+                   _duration(slide_seconds, "slide"))
     return (
         df.groupBy(*by, win.alias("__w"))
         .agg(F.count(F.lit(1)).alias("n_events"),

@@ -67,9 +67,10 @@ def event_features(events: DataFrame, n_entities: int,
         by="entity_id", order="ts", rows=rolling_rows,
     )
     ev = windows.sessionize(ev, session_gap_s, "entity_id", "ts", "session_id")
+    from pyspark.sql import Window as _W
     run = (
         windows.entity_window(["entity_id", "session_id"], "ts")
-        .rowsBetween(-(10**9), 0)
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
     )
     return ev.withColumn("session_event_n", F.count(F.lit(1)).over(run))
 

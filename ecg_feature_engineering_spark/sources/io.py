@@ -41,22 +41,34 @@ def write_csv(df: DataFrame, path: str, header: bool = True,
 
 
 def read_binary_files(spark: SparkSession, path: str,
-                      glob: str | None = None) -> DataFrame:
+                      glob: str | None = None,
+                      recursive: bool = False) -> DataFrame:
     """Raw payload ingest (S3 analog): one row per file with
     (path, modificationTime, length, content:binary) — the bootstrap step
-    that turns a directory of image files into the input_hint table."""
+    that turns a directory of image files into the input_hint table.
+    ``recursive`` descends into subdirectories (ids stay unique because
+    the payload table keys on the full path, not the stem)."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
     return reader.load(path)
 
 
 def binary_files_to_payload_table(files: DataFrame) -> DataFrame:
-    """binaryFile rows -> input_hint-shaped skeleton: id from the filename
-    stem (the reference's implicit key, extract_HRV.py:29), bytes payload,
-    fmt from the extension; w/h/caption/phash left to the decode kernels."""
-    stem = F.regexp_extract(F.col("path"), r"([^/]+)\.[^./]+$", 1)
-    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([^./]+)$", 1))
+    """binaryFile rows -> input_hint-shaped skeleton: id from the file
+    PATH minus scheme and extension (the reference keys on filename stems,
+    extract_HRV.py:29 — but a bare stem collides for same-named files in
+    different directories, so the directory part stays in the id), bytes
+    payload, fmt from the extension (null for extensionless files — filter
+    or map those BEFORE the decode kernel); w/h/caption/phash left to the
+    decode kernels."""
+    # scheme can be single-slash URI form (file:/tmp/x) or double (s3a://)
+    no_scheme = F.regexp_replace(F.col("path"), r"^[a-zA-Z][\w+.-]*:/+", "/")
+    stem = F.regexp_replace(no_scheme, r"\.[^./]+$", "")
+    ext = F.lower(F.nullif(
+        F.regexp_extract(F.col("path"), r"\.([^./]+)$", 1), F.lit("")))
     return files.select(
         stem.alias("image_id"),
         F.col("content").alias("bytes"),

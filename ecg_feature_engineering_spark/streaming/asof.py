@@ -62,9 +62,14 @@ def streaming_asof_backward(events: DataFrame, snapshots: DataFrame,
             columns={"ts": "snap_ts", "sv": "snap_value"})
         if state.exists:
             st_ts, st_val = state.get
+            seed_ts = pd.Timestamp(st_ts, unit="us")
+            # a LATE snapshot (ts <= the state's) can never win backward
+            # as-of for any future event; drop it rather than hand
+            # merge_asof an unsorted right side (which raises and would
+            # kill the whole streaming query)
+            snaps = snaps[snaps["snap_ts"] > seed_ts]
             seed = pd.DataFrame({
-                "snap_ts": [pd.Timestamp(st_ts, unit="us")],
-                "snap_value": [st_val]})
+                "snap_ts": [seed_ts], "snap_value": [st_val]})
             snaps = pd.concat([seed, snaps], ignore_index=True)
         evs = rows[rows["__side"] == 1][["ts", "ev"]].rename(
             columns={"ev": "event_value"})

@@ -69,7 +69,10 @@ def streaming_running_stats(events: DataFrame, by: str = "user_id",
     def update(key, pdfs, state):
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
-            n += len(pdf)
+            # count OBSERVATIONS (non-null), matching the batch grouped
+            # avg this operator twins — len(pdf) would count null rows
+            # whose NaN pd.sum silently skips, biasing the mean
+            n += int(pdf[value].count())
             total += float(pdf[value].sum())
         state.update((n, total))
         yield pd.DataFrame(

@@ -154,7 +154,11 @@ def test_io_csv_roundtrip_and_binary_ingest(spark, sf_dir, tmp_path):
     files = io.read_binary_files(spark, str(raw), glob="*.{png,bmp}")
     tbl = io.binary_files_to_payload_table(files).toPandas() \
         .sort_values("image_id").reset_index(drop=True)
-    assert list(tbl["image_id"]) == ["img001", "img002"]
+    # ids keep the directory path (stems collide across dirs) minus
+    # scheme + extension
+    assert [i.split("/")[-1] for i in tbl["image_id"]] == ["img001",
+                                                          "img002"]
+    assert all(i.startswith("/") and "/raw/" in i for i in tbl["image_id"])
     assert list(tbl["fmt"]) == ["png", "bmp"]
     assert bytes(tbl["bytes"].iloc[0]) == b"\x89PNGfake"
 
