@@ -490,7 +490,9 @@ def q_variability(spark, sf_dir):
     out = ev.groupBy("user_id").agg(
         (F.sqrt(s2 / n - (s1 / n) * (s1 / n)) / 100).alias("sdnn"),
         nn50.alias("nn50"),
-        (nn50 / F.count("d1")).alias("pnn50"),
+        # try_divide: a single-event entity has count(d1)=0 — null (the
+        # DuckDB /0 result), not an ANSI DIVIDE_BY_ZERO abort
+        F.try_divide(nn50, F.count("d1")).alias("pnn50"),
     )
     return _round(out, ["sdnn", "pnn50"])
 
@@ -1461,7 +1463,8 @@ def q_sample_entropy(spark, sf_dir):
     so the <= r comparisons can't straddle the ulp gap. Kernel's
     short-series patch (n < m+2) never binds at >= 60 events/entity."""
     ev = _events(spark, sf_dir)
-    out = kernels.sample_entropy_agg(ev, "value", "user_id", "ts", m_max=2)
+    out = kernels.sample_entropy_agg(ev, "value", "user_id", _ORDER,
+                                     m_max=2)
     return _round(out, ["sampen1", "sampen2"])
 
 
@@ -1525,7 +1528,8 @@ def q_fft(spark, sf_dir):
     trig-sum periodogram in DuckDB (O(n^2/2) per entity — oracle-only
     cost; the engine side stays the rfft kernel)."""
     ev = _events(spark, sf_dir)
-    out = kernels.fft_band_power_agg(ev, "value", "user_id", "ts", fs=1.0)
+    out = kernels.fft_band_power_agg(ev, "value", "user_id", _ORDER,
+                                     fs=1.0)
     return _round(out, [c for c in
                         ("band0", "band1", "band2", "band3", "band4", "band5",
                          "total_power")], n=2)
@@ -1997,8 +2001,8 @@ def q_fft_features(spark, sf_dir):
     the whole one-sided spectrum — faithfully mirrored, entropy of a
     single band is exactly 0 on both sides)."""
     ev = _events(spark, sf_dir)
-    out = kernels.fft_features_agg(ev, "value", "user_id", "ts", fs=1.0,
-                                   snr_cut_hz=0.1)
+    out = kernels.fft_features_agg(ev, "value", "user_id", _ORDER,
+                                   fs=1.0, snr_cut_hz=0.1)
     out = _round(out, ["band0", "band1", "band2", "band3", "band4",
                        "band5", "total_power"], n=2)
     return _round(out, ["band_entropy", "snr"])
@@ -2009,7 +2013,7 @@ def q_wavelet_stats(spark, sf_dir):
     """A22/U5 — per-entity db7 7-level DWT band statistics (48 features);
     min_len lowered to 64 so the events table produces non-zero rows."""
     ev = _events(spark, sf_dir)
-    out = kernels.wavelet_stat_agg(ev, "value", "user_id", "ts",
+    out = kernels.wavelet_stat_agg(ev, "value", "user_id", _ORDER,
                                    n_moments=7, level=7, min_len=64)
     return _round(out, [c for c in out.columns if c != "user_id"])
 
@@ -2019,7 +2023,8 @@ def q_spectrogram(spark, sf_dir):
     """U7 — per-entity log-spectrogram (nperseg=64) as
     array<array<double>>."""
     ev = _events(spark, sf_dir)
-    return kernels.spectrogram_agg(ev, "value", "user_id", "ts", fs=1.0,
+    return kernels.spectrogram_agg(ev, "value", "user_id", _ORDER,
+                                   fs=1.0,
                                    nperseg=64, noverlap=0)
 
 
@@ -2216,7 +2221,7 @@ def q_sample_entropy_qrs(spark, sf_dir):
     B = n(n-1)/2. A zero-std entity z-divides to NULL -> counts 0 ->
     the 100 patch on both sides."""
     ev = _events(spark, sf_dir)
-    out = kernels.sample_entropy_qrs_agg(ev, "value", "user_id", "ts", 3)
+    out = kernels.sample_entropy_qrs_agg(ev, "value", "user_id", _ORDER, 3)
     return _round(out, [c for c in out.columns if c != "user_id"])
 
 
