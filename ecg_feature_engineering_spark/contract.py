@@ -463,8 +463,8 @@ d AS (
     vl - lag(vl) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
   FROM s)
 SELECT user_id,
-  round(sqrt(sum(vl * vl) / count(*)
-             - (sum(vl) / count(*)) * (sum(vl) / count(*))) / 100, 6)
+  round(sqrt(sum(vl * vl) / count(vl)
+             - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) / 100, 6)
     AS sdnn,
   sum(CASE WHEN abs(d1) > 1500 THEN 1 ELSE 0 END) AS nn50,
   round(sum(CASE WHEN abs(d1) > 1500 THEN 1 ELSE 0 END) / count(d1), 6)
@@ -483,7 +483,7 @@ def q_variability(spark, sf_dir):
     ev = _events(spark, sf_dir)
     ev = ev.withColumn("vl", F.round(F.col("value") * 100).cast("long"))
     ev = windows.with_lag_diff(ev, "vl", "user_id", _ORDER, 1, "d1")
-    n = F.count(F.lit(1))
+    n = F.count("vl")  # null values are excluded (sums skip them too)
     s1 = F.sum("vl")
     s2 = F.sum(F.col("vl") * F.col("vl"))
     nn50 = F.sum(F.when(F.abs(F.col("d1")) > 1500, 1).otherwise(0))
@@ -1584,8 +1584,8 @@ p AS (
       AS pair_r
   FROM d)
 SELECT user_id,
-  round(sqrt(sum(vl * vl) / count(*)
-             - (sum(vl) / count(*)) * (sum(vl) / count(*))) / 100, 6)
+  round(sqrt(sum(vl * vl) / count(vl)
+             - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) / 100, 6)
     AS sdnn,
   sum(CASE WHEN nn > 1500 THEN 1 ELSE 0 END) AS nn50,
   round(sum(CASE WHEN nn > 1500 THEN 1 ELSE 0 END) / count(vl), 6)
@@ -1627,7 +1627,7 @@ def q_variability_full(spark, sf_dir):
     t = (t.withColumn("pair_r", pair_r)
           .withColumn("fv", F.first("vl").over(full))
           .withColumn("lv", F.last("vl").over(full)))
-    n_v = F.count(F.lit(1))
+    n_v = F.count("vl")  # null values excluded, like the sums
     s1 = F.sum("vl")
     s2 = F.sum(F.col("vl") * F.col("vl"))
     n_nn = F.count("nn")
@@ -1670,7 +1670,7 @@ x AS (
     coalesce(value + lead(value) OVER w2, value) AS bwd
   FROM trimmed JOIN med ON trimmed.user_id = med.user_id
   WINDOW w2 AS (PARTITION BY trimmed.user_id ORDER BY ts, event_id))
-SELECT user_id, round(avg(CASE WHEN
+SELECT user_id, round(avg(CASE WHEN value IS NULL THEN NULL WHEN
     abs(value - m) <= 0.05 * m OR abs(value - 2 * m) <= 0.05 * (2 * m)
     OR abs(fwd - 2 * m) <= 0.05 * (2 * m)
     OR abs(fwd - 3 * m) <= 0.05 * (3 * m)

@@ -135,3 +135,40 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         "simhash_fingerprints", "simhash_near_dups", "minhash_lsh",
         "hash_split",
     ], hostile_docs_dir)
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(spark, tmp_path_factory):
+    """Events with ~12% null values — the null-count-semantics class
+    (engine contract: null values are excluded from counts/ratios, like
+    both engines' sums)."""
+    root = tmp_path_factory.mktemp("nulls")
+    rng = np.random.default_rng(4)
+    rows, eid = [], 0
+    for u in range(1, 7):
+        t = 0
+        for _ in range(40):
+            t += int(rng.integers(1, 5))
+            v = (None if rng.random() < 0.12
+                 else round(float(rng.uniform(1, 500)), 2))
+            rows.append((eid, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=t), u,
+                         ["view", "click"][eid % 2], v))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{root}/events.parquet")
+    return str(root)
+
+
+def test_null_value_parity(spark, duck, nulls_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM "
+                 f"'{nulls_dir}/events.parquet/*.parquet'")
+    _compare(spark, duck, [
+        "variability", "variability_full", "qrs_yuxi", "hrv_features",
+        "basic_stats", "mad", "autocorr", "cdf_density", "nan_scrub",
+        "rolling_median3", "session_aggs", "scale_input", "lag_diffs",
+        "ffill", "crossing_count", "zigzag",
+    ], nulls_dir)
