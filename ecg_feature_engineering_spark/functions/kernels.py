@@ -598,23 +598,48 @@ def wavelet_stat_agg(df, value: str = "value", by: str = "entity_id",
         .applyInPandas(agg, schema)
 
 
+def tukey_window(n: int, alpha: float = 0.25) -> np.ndarray:
+    """Tukey (tapered-cosine) window — the public Harris/Bloomfield
+    definition that scipy.signal.windows.tukey implements: flat middle,
+    cosine tapers over alpha*(n-1)/2 samples per side; alpha=0 is boxcar."""
+    if n == 1 or alpha <= 0:
+        return np.ones(n)
+    alpha = min(alpha, 1.0)
+    w = np.ones(n)
+    width = int(np.floor(alpha * (n - 1) / 2.0))
+    left = np.arange(width + 1)
+    w[:width + 1] = 0.5 * (
+        1 + np.cos(np.pi * (-1 + 2.0 * left / alpha / (n - 1))))
+    w[n - width - 1:] = w[:width + 1][::-1]
+    return w
+
+
 def spectrogram_agg(df, value: str = "value", by: str = "entity_id",
                     order: str = "ts", fs: float = 300.0,
                     nperseg: int = 64, noverlap: int = 0):
     """U7 — per-entity log-spectrogram (preprocess-300hz.py:254-269:
-    spectrogram(nperseg=64) then log). Boxcar window (scipy's default tukey
-    taper is approximated; flagged deviation — the engine contract is the
-    distributed shape: grouped kernel -> array<array<double>>)."""
+    scipy.signal.spectrogram(nperseg=64) then log). Matches scipy's
+    default contract: tukey(0.25) taper, constant detrend (per-segment
+    mean removed), one-sided density scaling 1/(fs*sum(win^2)). Grouped
+    kernel -> array<array<double>> per entity."""
     # order may be one column or a tie-breaking list, e.g.
     # ("ts", "event_id") — duplicate timestamps sort deterministically
     order_cols = [order] if isinstance(order, str) else list(order)
     hop = nperseg - noverlap
+    win = tukey_window(nperseg, 0.25)
+    scale = 1.0 / (fs * float((win * win).sum()))
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf.sort_values(order_cols)[value].to_numpy()
         segs = []
         for s in range(0, max(len(x) - nperseg + 1, 0), hop):
-            _, pxx = periodogram_np(x[s:s + nperseg], fs)
+            seg = x[s:s + nperseg].astype(np.float64)
+            seg = seg - seg.mean()          # detrend='constant'
+            spec = np.fft.rfft(win * seg)
+            pxx = (spec.real ** 2 + spec.imag ** 2) * scale
+            pxx[1:] *= 2.0
+            if nperseg % 2 == 0 and len(pxx) > 1:
+                pxx[-1] /= 2.0
             segs.append(np.log(pxx + 1e-12).tolist())
         return pd.DataFrame([{by: pdf[by].iloc[0], "n_segments": len(segs),
                               "log_spec": segs}])

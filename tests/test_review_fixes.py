@@ -151,3 +151,40 @@ def test_binary_ingest_path_ids(spark, tmp_path):
     assert got["image_id"].nunique() == 3       # a/1 and b/1 don't collide
     noext = got[got["image_id"].str.endswith("noext")]
     assert noext["fmt"].isna().all()            # null fmt, not ''
+
+
+def test_tukey_window_properties():
+    from ecg_feature_engineering_spark.functions.kernels import tukey_window
+
+    w = tukey_window(64, 0.25)
+    assert w[0] == 0.0 and abs(w[-1]) < 1e-15       # tapers reach zero
+    assert np.all(w[9:55] == 1.0)                    # flat middle
+    np.testing.assert_allclose(w, w[::-1], atol=1e-15)  # symmetric
+    assert np.all(np.diff(w[:8]) > 0)                # monotone rise
+    np.testing.assert_array_equal(tukey_window(64, 0.0), np.ones(64))
+    # published spot value: tukey(8, 0.5) sample 1 = sin^2(pi*2/7*... )
+    w8 = tukey_window(8, 0.5)
+    np.testing.assert_allclose(
+        w8[1], 0.5 * (1 + np.cos(np.pi * (-1 + 2 * 1 / 0.5 / 7))),
+        atol=1e-15)
+
+
+def test_spectrogram_tukey_detrend(spark):
+    from ecg_feature_engineering_spark.functions import kernels
+
+    n = 128
+    t = np.arange(n)
+    fs, tone_hz = 300.0, 300.0 * 8 / 64   # exactly bin 8 of a 64-pt seg
+    x = 5.0 + 2.0 * np.sin(2 * np.pi * tone_hz * t / fs)
+    pdf = pd.DataFrame({
+        "entity_id": ["e"] * n,
+        "ts": pd.date_range("2024-01-01", periods=n, freq="s"),
+        "value": x})
+    out = kernels.spectrogram_agg(
+        spark.createDataFrame(pdf), "value", "entity_id", "ts",
+        fs=fs, nperseg=64).collect()[0]
+    spec = np.array(out["log_spec"])
+    assert out["n_segments"] == 2 and spec.shape == (2, 33)
+    # constant detrend kills the DC offset; the tone dominates at bin 8
+    assert spec[0].argmax() == 8
+    assert spec[0][8] - spec[0][0] > 5  # DC well below the tone (log scale)
