@@ -1463,8 +1463,11 @@ def q_sample_entropy(spark, sf_dir):
     so the <= r comparisons can't straddle the ulp gap. Kernel's
     short-series patch (n < m+2) never binds at >= 60 events/entity."""
     ev = _events(spark, sf_dir)
-    out = kernels.sample_entropy_agg(ev, "value", "user_id", _ORDER,
-                                     m_max=2)
+    # relational (pure-JVM self-join) — 3-4x the Arrow kernel's speed at
+    # this events-per-entity scale; the kernel remains the long-series
+    # path (see stats.sample_entropy_relational crossover note)
+    out = stats.sample_entropy_relational(ev, "value", "user_id", _ORDER,
+                                          m_max=2)
     return _round(out, ["sampen1", "sampen2"])
 
 

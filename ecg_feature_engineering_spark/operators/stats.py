@@ -415,3 +415,66 @@ def zigzag(df: DataFrame, value: str, by="entity_id", order="ts",
         .groupBy(*by)
         .agg((F.sum("__z") + 1).alias(out))
     )
+
+
+def sample_entropy_relational(df: DataFrame, value: str = "value",
+                              by="entity_id", order="ts",
+                              m_max: int = 2) -> DataFrame:
+    """A11/U4 — SampEn m=1..m_max as a pure-JVM self-join (no Python):
+    template pairs become join rows, the Chebyshev conditions become
+    conditional counts, r = 0.2 * population std from exact integer power
+    sums (2-decimal inputs; bit-identical to the DuckDB oracle).
+
+    3-4x faster than the Arrow kernel at ~60-100 events/entity (measured
+    sf0.1): the kernel pays per-group Arrow overhead, the join is one
+    shuffle + codegen. CROSSOVER: the join materializes ~n^2/2 rows per
+    entity — prefer ``kernels.sample_entropy_agg`` (tiled, in-memory
+    pair counting) once entities exceed a few thousand events.
+
+    Output patches match the kernel/reference: B=0 -> -2, A=0 -> -1;
+    entities with n < m_max + 2 -> all -2 (short-series guard)."""
+    by = [by] if isinstance(by, str) else list(by)
+    order = [order] if isinstance(order, str) else list(order)
+    w = entity_window(by, order)
+    full = Window.partitionBy(*by)
+    vl = F.round(F.col("__v") * 100).cast("long")
+    n_full = F.count(F.lit(1)).over(full)
+    r_expr = 0.2 * F.sqrt(
+        F.sum(vl * vl).over(full) / n_full
+        - F.pow(F.sum(vl).over(full) / n_full, 2)) / 100
+    t = (df.select(*by, *order, F.col(value).alias("__v"))
+         .withColumn("__rn", F.row_number().over(w))
+         .withColumn("__n", n_full)
+         .withColumn("__r", r_expr))
+    for j in range(1, m_max + 2):
+        t = t.withColumn(f"__v{j}", F.lead("__v", j).over(w))
+    a, b = t.alias("a"), t.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in by]
+    j = a.join(b, cond + [F.col("a.__rn") < F.col("b.__rn")])
+    r = F.col("a.__r")
+    d = F.abs(F.col("a.__v") - F.col("b.__v"))
+    aggs = []
+    for m in range(1, m_max + 1):
+        # d has been maxed over coords 0..m-1 at this point
+        within_k = F.col("b.__rn") <= F.col("a.__n") - m
+        aggs.append(F.sum(F.when(within_k & (d <= r), 1).otherwise(0))
+                    .alias(f"__b{m}"))
+        d1 = F.greatest(d, F.abs(F.col(f"a.__v{m}") - F.col(f"b.__v{m}")))
+        aggs.append(F.sum(F.when(within_k & (d1 <= r), 1).otherwise(0))
+                    .alias(f"__a{m}"))
+        d = d1
+    g = j.groupBy(*[F.col(f"a.{c}").alias(c) for c in by]).agg(
+        F.max(F.col("a.__n")).alias("__n"), *aggs)
+    # entities too short to form any pair (n < 2) never reach the join —
+    # bring them back with the short-series patch
+    base = df.groupBy(*by).agg(F.count(F.lit(1)).alias("__nb"))
+    g = base.join(g, by, "left")
+    out_cols = []
+    for m in range(1, m_max + 1):
+        bm, am = F.col(f"__b{m}"), F.col(f"__a{m}")
+        out_cols.append(
+            F.when((F.col("__nb") < m_max + 2)
+                   | (F.coalesce(bm, F.lit(0)) == 0), -2.0)
+            .when(F.coalesce(am, F.lit(0)) == 0, -1.0)
+            .otherwise(-F.log(am / bm)).alias(f"sampen{m}"))
+    return g.select(*by, *out_cols)

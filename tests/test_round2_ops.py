@@ -381,3 +381,33 @@ def test_ngram_jaccard_cap_none_exact(spark):
                                       max_shingle_df=None).toPandas()
     assert len(capped) == 0          # boilerplate-only overlap dropped
     assert len(exact) > 0            # cap=None restores exact semantics
+
+
+def test_sample_entropy_relational_equals_kernel(spark, sf_dir):
+    from ecg_feature_engineering_spark.operators import stats
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "ts", "user_id", "value"))
+    rel = (stats.sample_entropy_relational(
+        ev, "value", "user_id", ["ts", "event_id"], m_max=2)
+        .toPandas().set_index("user_id").sort_index())
+    ker = (kernels.sample_entropy_agg(
+        ev, "value", "user_id", ["ts", "event_id"], m_max=2)
+        .toPandas().set_index("user_id").sort_index())
+    np.testing.assert_allclose(
+        rel[["sampen1", "sampen2"]], ker[["sampen1", "sampen2"]],
+        atol=2e-6)
+
+
+def test_sample_entropy_relational_short_series(spark):
+    from ecg_feature_engineering_spark.operators import stats
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a", "b", "b", "b", "b", "b"],
+        "ts": pd.date_range("2024-01-01", periods=6, freq="min"),
+        "value": [1.0, 5.0, 9.0, 2.0, 7.0, 3.0]}))
+    got = (stats.sample_entropy_relational(d, "value", "entity_id", "ts")
+           .toPandas().set_index("entity_id").sort_index())
+    assert got.loc["a", "sampen1"] == -2.0  # single event: guard row kept
+    assert got.loc["a", "sampen2"] == -2.0
+    assert np.isfinite(got.loc["b"]).all()
