@@ -2,10 +2,11 @@
 Iceberg-snapshot checkpoints with per-partition lineage and row-count/latency
 metrics").
 
-This container has no Iceberg jars (import-gated below), so the same contract
-is implemented over parquet stage directories with an atomic _SUCCESS +
-manifest protocol; on a cluster with Iceberg on the classpath the writer
-switches to `format("iceberg")` and snapshots give time-travel for free.
+This container has no Iceberg jars, so the same contract is implemented
+over parquet stage directories with an atomic _SUCCESS + manifest protocol;
+on a cluster with the Iceberg runtime, pass ``data_format="iceberg"`` to
+write stages as Iceberg tables (snapshots then add time-travel on top of
+this layer's manifests).
 
 Reference analog: stage outputs to CSV/MAT/pickle as coarse checkpoints
 (resample.py:29, preprocess-300hz.py:444-470) — here made atomic, resumable,
@@ -20,15 +21,6 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-
-def _iceberg_available(spark: SparkSession) -> bool:
-    try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
-        return True
-    except Exception:
-        return False
 
 
 class StageCheckpointer:
@@ -43,13 +35,15 @@ class StageCheckpointer:
     """
 
     def __init__(self, spark: SparkSession, root: str,
-                 params: dict | None = None):
+                 params: dict | None = None,
+                 data_format: str = "parquet"):
         """``params``: the job inputs this run depends on (arg values,
         input paths, corpus sizes). Their hash is stamped into every stage
         manifest; a resume under DIFFERENT params invalidates the stage
         instead of silently serving the previous run's data."""
         self.spark = spark
         self.root = root
+        self.data_format = data_format
         self.params_hash = self._hash_params(params or {})
         os.makedirs(root, exist_ok=True)
 
@@ -83,20 +77,27 @@ class StageCheckpointer:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
-        out = self.spark.read.parquet(data_dir)
-        # per-partition lineage: rows per task partition of the written data
-        lineage = [
-            {"partition_id": r["pid"], "rows": r["rows"]}
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("rows")).collect()
-        ]
+        writer.format(self.data_format).save(data_dir)
+        out = self.spark.read.format(self.data_format).load(data_dir)
+        # per-partition lineage = the written FILES (name + bytes) plus a
+        # metadata-only row count — no second full scan of the stage data
+        # (parquet count() reads footers; the old groupBy(partition_id)
+        # re-scanned every byte just written, doubling stage I/O)
+        rows = out.count()
+        lineage = []
+        for dirpath, _dirs, files in os.walk(data_dir):
+            for f in sorted(files):
+                if f.endswith((".parquet", ".orc", ".avro")):
+                    full = os.path.join(dirpath, f)
+                    lineage.append({
+                        "file": os.path.relpath(full, data_dir),
+                        "bytes": os.path.getsize(full)})
         meta = {
             "status": "complete",
             "stage": stage,
             "run_id": str(uuid.uuid4()),
             "params_hash": self.params_hash,
-            "rows": sum(p["rows"] for p in lineage),
+            "rows": rows,
             "n_partitions": len(lineage),
             "partitions": lineage,
             "schema": out.schema.jsonValue(),
@@ -112,7 +113,7 @@ class StageCheckpointer:
 
     def read(self, stage: str) -> DataFrame:
         data_dir, _ = self._paths(stage)
-        return self.spark.read.parquet(data_dir)
+        return self.spark.read.format(self.data_format).load(data_dir)
 
     def run(self, stage: str, fn, partition_by: list[str] | None = None
             ) -> DataFrame:
@@ -124,12 +125,17 @@ class StageCheckpointer:
         return self.read(stage)
 
     def metrics(self) -> list[dict]:
+        """Per-stage metrics for THIS run's params only — a manifest left
+        by a previous run with different inputs is stale, not a metric."""
         out = []
         for stage in sorted(os.listdir(self.root)):
             _, manifest = self._paths(stage)
             if os.path.exists(manifest):
                 with open(manifest) as f:
                     m = json.load(f)
+                if (m.get("status") != "complete"
+                        or m.get("params_hash") != self.params_hash):
+                    continue
                 out.append({k: m[k] for k in
                             ("stage", "rows", "n_partitions", "wall_seconds",
                              "status") if k in m})

@@ -333,7 +333,7 @@ WITH d AS (
     value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
   FROM events)
 SELECT user_id,
-  round(sqrt(avg(value * value) - avg(value) * avg(value)), 6) AS sdnn,
+  round(sqrt(CASE WHEN (avg(value * value) - avg(value) * avg(value)) < 0 THEN 0 ELSE (avg(value * value) - avg(value) * avg(value)) END), 6) AS sdnn,
   round(max(value), 6) AS max_rr,
   round(min(value), 6) AS min_rr,
   round(avg(value), 6) AS mean_rr,
@@ -439,10 +439,10 @@ WITH d AS (
   FROM events)
 SELECT user_id,
   round(CASE WHEN avg(value) <> 0 THEN
-    sqrt(avg(value * value) - avg(value) * avg(value)) / avg(value)
+    sqrt(CASE WHEN (avg(value * value) - avg(value) * avg(value)) < 0 THEN 0 ELSE (avg(value * value) - avg(value) * avg(value)) END) / avg(value)
     ELSE 0.0 END, 6) AS cov_ts,
   round(CASE WHEN avg(d1) <> 0 THEN
-    sqrt(avg(d1 * d1) - avg(d1) * avg(d1)) / avg(d1) ELSE 0.0 END, 6)
+    sqrt(CASE WHEN (avg(d1 * d1) - avg(d1) * avg(d1)) < 0 THEN 0 ELSE (avg(d1 * d1) - avg(d1) * avg(d1)) END) / avg(d1) ELSE 0.0 END, 6)
     AS cov_dts
 FROM d GROUP BY user_id
 """)
@@ -463,8 +463,9 @@ d AS (
     vl - lag(vl) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
   FROM s)
 SELECT user_id,
-  round(sqrt(sum(vl * vl) / count(vl)
-             - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) / 100, 6)
+  round(sqrt(CASE WHEN (sum(vl * vl) / count(vl)
+             - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) < 0 THEN 0 ELSE (sum(vl * vl) / count(vl)
+             - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) END) / 100, 6)
     AS sdnn,
   sum(CASE WHEN abs(d1) > 1500 THEN 1 ELSE 0 END) AS nn50,
   round(sum(CASE WHEN abs(d1) > 1500 THEN 1 ELSE 0 END) / count(d1), 6)
@@ -488,7 +489,7 @@ def q_variability(spark, sf_dir):
     s2 = F.sum(F.col("vl") * F.col("vl"))
     nn50 = F.sum(F.when(F.abs(F.col("d1")) > 1500, 1).otherwise(0))
     out = ev.groupBy("user_id").agg(
-        (F.sqrt(s2 / n - (s1 / n) * (s1 / n)) / 100).alias("sdnn"),
+        (F.sqrt(stats._clamp0(s2 / n - (s1 / n) * (s1 / n))) / 100).alias("sdnn"),
         nn50.alias("nn50"),
         # try_divide: a single-event entity has count(d1)=0 — null (the
         # DuckDB /0 result), not an ANSI DIVIDE_BY_ZERO abort
@@ -1420,8 +1421,9 @@ WITH vs AS (
   SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vl FROM events),
 rr AS (  -- r = 0.2 * population std, from exact integer power sums
   SELECT user_id,
-    0.2 * sqrt(sum(vl * vl) / count(*)
-               - (sum(vl) / count(*)) * (sum(vl) / count(*))) / 100 AS r
+    0.2 * sqrt(CASE WHEN (sum(vl * vl) / count(*)
+               - (sum(vl) / count(*)) * (sum(vl) / count(*))) < 0 THEN 0 ELSE (sum(vl * vl) / count(*)
+               - (sum(vl) / count(*)) * (sum(vl) / count(*))) END) / 100 AS r
   FROM vs GROUP BY user_id),
 t AS (
   SELECT user_id, value AS v0,
@@ -1587,8 +1589,9 @@ p AS (
       AS pair_r
   FROM d)
 SELECT user_id,
-  round(sqrt(sum(vl * vl) / count(vl)
-             - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) / 100, 6)
+  round(sqrt(CASE WHEN (sum(vl * vl) / count(vl)
+             - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) < 0 THEN 0 ELSE (sum(vl * vl) / count(vl)
+             - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) END) / 100, 6)
     AS sdnn,
   sum(CASE WHEN nn > 1500 THEN 1 ELSE 0 END) AS nn50,
   round(sum(CASE WHEN nn > 1500 THEN 1 ELSE 0 END) / count(vl), 6)
@@ -1596,9 +1599,11 @@ SELECT user_id,
   round(CASE WHEN count(nn) - 1 <> 0 AND sum(vl) <> 0 THEN
     (sum(pair_r) / 1000.0 / (count(nn) - 1)) / (sum(vl) / count(vl))
     ELSE 0.0 END, 6) AS stepping,
-  round(CASE WHEN (-min(fv) - 2 * min(lv) + 2 * sum(vl)) <> 0 THEN
-    sqrt(sum(nn * nn) / (2 * count(nn))
-         - (sum(nn) / count(nn)) * (sum(nn) / count(nn)) / 2)
+  round(CASE WHEN (-min(fv) - 2 * min(lv) + 2 * sum(vl)) <> 0
+             AND count(nn) > 0 THEN
+    sqrt(CASE WHEN (sum(nn * nn) / (2 * count(nn))
+         - (sum(nn) / count(nn)) * (sum(nn) / count(nn)) / 2) < 0 THEN 0 ELSE (sum(nn * nn) / (2 * count(nn))
+         - (sum(nn) / count(nn)) * (sum(nn) / count(nn)) / 2) END)
     / ((-min(fv) - 2 * min(lv) + 2 * sum(vl)) / (2 * count(nn)))
     ELSE 0.0 END, 6) AS dispersion
 FROM p GROUP BY user_id
@@ -1643,13 +1648,14 @@ def q_variability_full(spark, sf_dir):
     ).otherwise(F.lit(0.0))
     disp_den_i = -F.min("fv") - 2 * F.min("lv") + 2 * s1
     dispersion = F.when(
-        disp_den_i != 0,
-        F.sqrt(sum_nn2 / (2 * n_nn)
-               - (sum_nn / n_nn) * (sum_nn / n_nn) / 2)
+        (disp_den_i != 0) & (n_nn > 0),
+        F.sqrt(stats._clamp0(
+            sum_nn2 / (2 * n_nn)
+            - (sum_nn / n_nn) * (sum_nn / n_nn) / 2))
         / (disp_den_i / (2 * n_nn))
     ).otherwise(F.lit(0.0))
     out = t.groupBy("user_id").agg(
-        (F.sqrt(s2 / n_v - (s1 / n_v) * (s1 / n_v)) / 100).alias("sdnn"),
+        (F.sqrt(stats._clamp0(s2 / n_v - (s1 / n_v) * (s1 / n_v))) / 100).alias("sdnn"),
         nn50.alias("nn50"),
         (nn50 / n_v).alias("pnn50"),
         stepping.alias("stepping"),
@@ -2166,11 +2172,13 @@ WITH vs AS (
   SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vl FROM events),
 st AS (
   SELECT user_id, (sum(vl) / count(*)) / 100 AS mu,
-    sqrt(sum(vl * vl) / count(*)
-         - (sum(vl) / count(*)) * (sum(vl) / count(*))) / 100 AS sd
+    sqrt(CASE WHEN (sum(vl * vl) / count(*)
+         - (sum(vl) / count(*)) * (sum(vl) / count(*))) < 0 THEN 0 ELSE (sum(vl * vl) / count(*)
+         - (sum(vl) / count(*)) * (sum(vl) / count(*))) END) / 100 AS sd
   FROM vs GROUP BY user_id),
 t AS (
-  SELECT e.user_id, (value - mu) / sd AS z0,
+  SELECT e.user_id,
+    CASE WHEN sd > 0 THEN (value - mu) / sd END AS z0,
     row_number() OVER w AS rn, count(*) OVER (PARTITION BY e.user_id) AS n
   FROM events e JOIN st ON e.user_id = st.user_id
   WINDOW w AS (PARTITION BY e.user_id ORDER BY ts, event_id)),
@@ -2233,7 +2241,7 @@ SELECT user_id, event_type,
   round(avg(value), 6) AS s_mean,
   round(max(value), 6) AS s_max,
   round(min(value), 6) AS s_min,
-  round(sqrt(avg(value * value) - avg(value) * avg(value)), 6) AS s_std,
+  round(sqrt(CASE WHEN (avg(value * value) - avg(value) * avg(value)) < 0 THEN 0 ELSE (avg(value * value) - avg(value) * avg(value)) END), 6) AS s_std,
   round(quantile_cont(value, 0.25), 6) AS s_p25,
   round(quantile_cont(value, 0.75), 6) AS s_p75
 FROM events GROUP BY user_id, event_type
@@ -2258,8 +2266,8 @@ def q_per_lead_summary(spark, sf_dir):
 
 @register("nan_scrub", """
 SELECT event_id, user_id,
-  coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0)
-    AS value_scrubbed
+  coalesce(CASE WHEN event_type = 'error' OR isnan(value) THEN NULL
+                ELSE value END, 0.0) AS value_scrubbed
 FROM events
 """)
 def q_nan_scrub(spark, sf_dir):

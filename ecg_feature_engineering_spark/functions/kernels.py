@@ -404,7 +404,9 @@ def sample_entropy_qrs_np(x: np.ndarray, m_max: int = 3) -> np.ndarray:
     if n < (m_max + 1) * 2:
         return out
     sd = x.std()
-    if sd == 0:
+    # exact equality check, not sd == 0: np.std of a constant series can
+    # be ~1e-16 from float mean rounding, which would z-score to garbage
+    if sd == 0 or np.all(x == x[0]):
         return out
     z = (x - x.mean()) / sd
     r = 0.2

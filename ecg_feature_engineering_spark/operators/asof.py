@@ -45,12 +45,16 @@ _RTS = "__asof_right_ts"
 def _right_value_cols(left: DataFrame, right: DataFrame, by: list[str],
                       right_on: str, suffix: str) -> list[tuple[str, str]]:
     """(right_col, output_name) pairs; collisions with left get the suffix."""
-    left_names = set(left.columns)
+    used = set(left.columns)
     out = []
     for c in right.columns:
         if c in by or c == right_on:
             continue
-        out.append((c, c + suffix if c in left_names else c))
+        oc = c + suffix if c in used else c
+        while oc in used:          # suffixed name may ALSO collide (e.g.
+            oc = oc + suffix       # right has both 'x' and 'x_r')
+        used.add(oc)
+        out.append((c, oc))
     return out
 
 
@@ -197,7 +201,7 @@ def asof_join_many(
     for i, cols in src_cols.items():
         u = u.withColumn(
             f"__pack{i}",
-            F.when(F.col("__src") == i,
+            F.when((F.col("__src") == i) & F.col(on).isNotNull(),
                    F.struct(*[F.col(c).alias(c) for c in cols])))
 
     out_cols = [oc for oc, _, _, _ in fill]
@@ -212,7 +216,9 @@ def asof_join_many(
           .alias(f"__pf{i}") for i in src_cols])
     extract = []
     for oc, si, _, _ in fill:
-        extract.append(F.col(f"__pf{si}").getField(oc).alias(oc))
+        extract.append(
+            F.when(F.col(on).isNotNull(),
+                   F.col(f"__pf{si}").getField(oc)).alias(oc))
     return (
         filled.where(F.col(_SIDE) == 1)
         .select(*keep, *extract)
@@ -250,7 +256,9 @@ def _asof_union_window(left, right, on, by, right_on, direction, tolerance,
     # back-filled from an older row — (match_ts, values) always come from
     # the SAME matched right row (and the tolerance gate below therefore
     # nulls values that belong to the ts it checks)
-    pack = F.when(F.col(_SIDE) == 0,
+    # a NULL-ts right row must never match (it would sort first and act
+    # as an infinitely-old match); a NULL-ts probe gets all-null fills
+    pack = F.when((F.col(_SIDE) == 0) & F.col(on).isNotNull(),
                   F.struct(*[F.col(c).alias(c) for c in fill_cols]))
     u = u.withColumn("__pack", pack)
     if direction == "backward":
@@ -266,10 +274,12 @@ def _asof_union_window(left, right, on, by, right_on, direction, tolerance,
 
     keep = [c for c in u.columns
             if c not in fill_cols and c not in (_SIDE, "__pack")]
-    out = (u.select(*keep, F.col(_SIDE), filled.alias("__pf"))
+    out = (u.select(*keep, F.col(_SIDE), F.col(on).alias("__on"),
+                    filled.alias("__pf"))
             .where(F.col(_SIDE) == 1)
             .select(*keep,
-                    *[F.col("__pf").getField(c).alias(c)
+                    *[F.when(F.col("__on").isNotNull(),
+                             F.col("__pf").getField(c)).alias(c)
                       for c in fill_cols]))
 
     if tolerance is not None:
@@ -345,7 +355,7 @@ def _asof_union_window_bucketed(left, right, on, by, right_on, direction,
     # backfill a matched row's NULL members from older rows)
     u = u.withColumn(
         "__pack",
-        F.when(F.col(_SIDE) == 0,
+        F.when((F.col(_SIDE) == 0) & F.col(on).isNotNull(),
                F.struct(*[F.col(c).alias(c) for c in fill_cols])))
     side_order = F.col(_SIDE).asc() if backward else F.col(_SIDE).desc()
     w_in = Window.partitionBy(*by, "__bkt").orderBy(F.col(on).asc(),
@@ -378,7 +388,9 @@ def _asof_union_window_bucketed(left, right, on, by, right_on, direction,
         .withColumn("__pf", F.coalesce(F.col("__in"), F.col("__carry")))
         .select(
             *[c for c in left_cols],
-            *[F.col("__pf").getField(c).alias(c) for c in fill_cols],
+            *[F.when(F.col(on).isNotNull(),
+                     F.col("__pf").getField(c)).alias(c)
+              for c in fill_cols],
         )
     )
 
@@ -423,15 +435,31 @@ def _asof_merge_pandas(left, right, on, by, right_on, direction, tolerance,
     def join_group(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if l_pdf.empty:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        l_sorted = l_pdf.sort_values(on, kind="mergesort")
-        r_small = r_pdf[[right_on] + [rc for rc, _ in vcols]].copy()
+        out_cols = [*left_names, _RTS, *[oc for _, oc in vcols]]
+        # NULL-ts rows don't participate: null-ts right rows can't match
+        # (and would crash merge_asof's sortedness check), null-ts probes
+        # get all-null fills
+        l_ok = l_pdf[l_pdf[on].notna()]
+        l_null = l_pdf[l_pdf[on].isna()]
+        r_small = r_pdf[r_pdf[right_on].notna()][
+            [right_on] + [rc for rc, _ in vcols]].copy()
         r_small.columns = [_RTS] + [oc for _, oc in vcols]
-        r_sorted = r_small.sort_values(_RTS, kind="mergesort")
-        merged = pd.merge_asof(
-            l_sorted, r_sorted, left_on=on, right_on=_RTS,
-            direction=direction, tolerance=tol_pd, allow_exact_matches=True,
-        )
-        return merged[[*left_names, _RTS, *[oc for _, oc in vcols]]]
+        parts = []
+        if len(l_ok):
+            l_sorted = l_ok.sort_values(on, kind="mergesort")
+            r_sorted = r_small.sort_values(_RTS, kind="mergesort")
+            merged = pd.merge_asof(
+                l_sorted, r_sorted, left_on=on, right_on=_RTS,
+                direction=direction, tolerance=tol_pd,
+                allow_exact_matches=True,
+            )
+            parts.append(merged[out_cols])
+        if len(l_null):
+            nn = l_null.copy()
+            for c in [_RTS] + [oc for _, oc in vcols]:
+                nn[c] = None
+            parts.append(nn[out_cols])
+        return pd.concat(parts, ignore_index=True)
 
     return (
         left.groupBy(*by)

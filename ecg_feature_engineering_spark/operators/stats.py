@@ -33,8 +33,17 @@ def var_pop(col) -> Column:
 
 
 def std_pop(col) -> Column:
-    """Population std (np.std ddof=0; reference sdnn, HRV_features.py:109-111)."""
-    return F.sqrt(var_pop(col))
+    """Population std (np.std ddof=0; reference sdnn, HRV_features.py:109-111).
+    The power-sum variance can round to a tiny NEGATIVE for near-constant
+    groups; clamp at 0 (DuckDB's sqrt hard-errors on negatives, Spark
+    returns NaN — both wrong for a constant series whose std is 0)."""
+    return F.sqrt(_clamp0(var_pop(col)))
+
+
+def _clamp0(c: Column) -> Column:
+    # null-safe clamp: CASE form (greatest() differs on nulls across
+    # engines); null passes through as null
+    return F.when(c < 0, F.lit(0.0)).otherwise(c)
 
 
 def skew_pop(col) -> Column:
@@ -439,9 +448,9 @@ def sample_entropy_relational(df: DataFrame, value: str = "value",
     full = Window.partitionBy(*by)
     vl = F.round(F.col("__v") * 100).cast("long")
     n_full = F.count(F.lit(1)).over(full)
-    r_expr = 0.2 * F.sqrt(
+    r_expr = 0.2 * F.sqrt(_clamp0(
         F.sum(vl * vl).over(full) / n_full
-        - F.pow(F.sum(vl).over(full) / n_full, 2)) / 100
+        - F.pow(F.sum(vl).over(full) / n_full, 2))) / 100
     t = (df.select(*by, *order, F.col(value).alias("__v"))
          .withColumn("__rn", F.row_number().over(w))
          .withColumn("__n", n_full)

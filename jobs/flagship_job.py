@@ -49,9 +49,12 @@ def main() -> None:
     spark = SparkSession.getActiveSession() or get_spark("flagship-job")
     from ecg_feature_engineering_spark import contract as _c
     _c.ensure_workers_can_import(spark)
-    cp = StageCheckpointer(spark, args.checkpoint_root,
-                           params=vars(args))  # rerun with different
-    # inputs invalidates stages instead of serving the old run's data
+    # hash only the DATA-affecting inputs: --output/--checkpoint-root
+    # don't change stage contents, so changing them must not force a
+    # full re-decode (the resume contract)
+    data_params = {k: v for k, v in vars(args).items()
+                   if k in ("events", "images", "n_images", "seed")}
+    cp = StageCheckpointer(spark, args.checkpoint_root, params=data_params)
     n_entities = max(args.n_images // 20, 2)
 
     def load_images():

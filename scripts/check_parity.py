@@ -98,7 +98,10 @@ def main():
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             continue
-        errs = compare(name, sdf, ddf)
+        try:
+            errs = compare(name, sdf, ddf)
+        except Exception as ex:  # comparison itself must not kill the gate
+            errs = [f"compare error: {type(ex).__name__}: {ex}"]
         if errs:
             print(f"FAIL {name} ({len(sdf)} vs {len(ddf)} rows):")
             for er in errs:

@@ -188,3 +188,51 @@ def test_spectrogram_tukey_detrend(spark):
     # constant detrend kills the DC offset; the tone dominates at bin 8
     assert spec[0].argmax() == 8
     assert spec[0][8] - spec[0][0] > 5  # DC well below the tone (log scale)
+
+
+def test_checkpoint_params_invalidation_and_metrics(spark, tmp_path):
+    from ecg_feature_engineering_spark.checkpoint import StageCheckpointer
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(50)
+
+    cp1 = StageCheckpointer(spark, str(tmp_path), params={"n_images": 10})
+    cp1.run("s", build)
+    assert calls["n"] == 1
+    # same params -> resume without recompute
+    StageCheckpointer(spark, str(tmp_path), params={"n_images": 10}).run(
+        "s", build)
+    assert calls["n"] == 1
+    # different params -> stale manifest invalidated, stage recomputes
+    cp2 = StageCheckpointer(spark, str(tmp_path), params={"n_images": 99})
+    cp2.run("s", build)
+    assert calls["n"] == 2
+    # metrics reports only THIS run's params
+    assert len(cp2.metrics()) == 1
+    assert cp2.metrics()[0]["rows"] == 50
+    # lineage lists the written files, not a re-scan
+    import json as _json
+    man = _json.load(open(tmp_path / "s" / "manifest.json"))
+    assert all("file" in p and p["bytes"] > 0 for p in man["partitions"])
+
+
+def test_asof_nullts_contract(spark):
+    from ecg_feature_engineering_spark.operators import asof
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a", "a"],
+        "ts": [pd.Timestamp("2024-01-01 05:00"), pd.NaT]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a", "a"],
+        "ts": [pd.NaT, pd.Timestamp("2020-01-01")],
+        "v": [99.0, 7.0]}))
+    for strat in ("union_window", "union_window_bucketed", "merge_asof"):
+        got = (asof.asof_join(left, right, by="entity_id", strategy=strat,
+                              keep_match_ts="mts", bucket_seconds=3600.0)
+               .orderBy("ts").collect())
+        # null-ts probe -> all-null fills; null-ts right row never matches
+        assert got[0]["v"] is None and got[0]["mts"] is None, strat
+        assert got[1]["v"] == 7.0, strat
