@@ -172,3 +172,36 @@ def test_null_value_parity(spark, duck, nulls_dir):
         "rolling_median3", "session_aggs", "scale_input", "lag_diffs",
         "ffill", "crossing_count", "zigzag",
     ], nulls_dir)
+
+
+@pytest.fixture(scope="module")
+def const_dir(spark, tmp_path_factory):
+    """Exactly-constant and near-constant entities — the zero-variance /
+    catastrophic-cancellation class (sqrt of a tiny negative variance,
+    zero std z-scores, zero-denominator Poincare terms)."""
+    root = tmp_path_factory.mktemp("const")
+    rows, eid = [], 0
+    for u, vals in ((1, [7.77] * 30), (2, [1.23] * 3),
+                    (3, [round(1 + 8 * i / 29, 2) for i in range(30)]),
+                    (4, [5.0] * 29 + [5.01])):
+        for v in vals:
+            rows.append((eid, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=eid), u, "view", float(v)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{root}/events.parquet")
+    return str(root)
+
+
+def test_constant_series_parity(spark, duck, const_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM "
+                 f"'{const_dir}/events.parquet/*.parquet'")
+    _compare(spark, duck, [
+        "hrv_features", "basic_stats", "variability", "variability_full",
+        "coeff_of_variation", "per_lead_summary", "sample_entropy",
+        "sample_entropy_qrs", "qrs_yuxi", "long_stats", "scale_input",
+        "mad", "cdf_density",
+    ], const_dir)
