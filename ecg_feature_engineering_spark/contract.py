@@ -849,6 +849,9 @@ WITH q AS (
   SELECT doc_id, length(text) AS n_chars,
     len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
                     x -> x <> '')) AS n_words,
+    list_aggregate(list_transform(
+      list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                  x -> x <> ''), x -> length(x)), 'sum') AS wl_sum,
     length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
       AS n_punct,
     length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
@@ -861,7 +864,7 @@ SELECT doc_id,
   n_chars::BIGINT AS n_chars_q,
   n_words::BIGINT AS n_words,
   round(CASE WHEN n_words > 0
-    THEN (n_chars - (n_words - 1)) / n_words::DOUBLE ELSE 0.0 END, 6)
+    THEN wl_sum / n_words::DOUBLE ELSE 0.0 END, 6)
     AS mean_word_len,
   round(CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END, 6)
     AS punct_ratio,
@@ -1133,9 +1136,11 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id,
-    list_dot_product(qv, cv)
-      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-      AS cos
+    CASE WHEN sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv)) > 0 THEN
+      list_dot_product(qv, cv)
+        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+    END AS cos
   FROM q, c WHERE neighbor_id <> query_id),
 ranked AS (
   SELECT query_id, neighbor_id, cos,

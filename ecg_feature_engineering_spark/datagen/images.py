@@ -75,7 +75,12 @@ def gen_image_row(seed: int, i: int, n_entities: int,
     if n_words > 4 and i % 7 == 0:  # multi-comma captions exercise split/explode
         words[2] = words[2] + ","
     caption = " ".join(words)
-    ts = _EPOCH + dt.timedelta(seconds=int(i) * 37 + int(rng.integers(0, 29)))
+    # modulo keeps ts inside the datetime range at any i (37s * 1e12
+    # rows would overflow year 9999); identical values for i < 8.1e7,
+    # so existing corpora/goldens are unchanged
+    ts = _EPOCH + dt.timedelta(
+        seconds=(int(i) * 37 + int(rng.integers(0, 29)))
+        % 3_000_000_000)
     return {
         "image_id": f"img{i:08d}",
         "bytes": data,

@@ -37,7 +37,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL for a zero-norm side (an unguarded divide
+    aborts the whole job with DIVIDE_BY_ZERO under ANSI)."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den)
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -90,25 +93,43 @@ def with_lsh_bucket(df: DataFrame, dim: int, vec_col: str = "embedding",
     return df.withColumn(out, bucket)
 
 
+def with_lsh_buckets_multi(df: DataFrame, dim: int,
+                           vec_col: str = "embedding", n_planes: int = 8,
+                           tables: int = 4,
+                           out: str = "__tb") -> DataFrame:
+    """Every table's bucket id in ONE projection, exploded to
+    (table, bucket) rows — a single scan regardless of ``tables`` (a
+    per-table loop re-scans and re-shuffles the full corpus per table,
+    which is the difference between 1 and ``tables`` passes at 100 TB)."""
+    entries = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, n_planes, t)
+        bucket = F.lit(0)
+        for b in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+            bit = F.when(_dot(F.col(vec_col), plane) > 0, 1).otherwise(0)
+            bucket = bucket * 2 + bit
+        entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    return df.withColumn(out, F.explode(F.array(*entries)))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 8, tables: int = 4) -> DataFrame:
     """ANN top-k: union of ``tables`` independent sign-LSH tables; candidates
     are same-bucket rows only; exact cosine re-ranks candidates. Recall grows
     with ``tables``; cost is bucket-local instead of O(|Q|·|C|)."""
-    cands = None
-    for t in range(tables):
-        cb = with_lsh_bucket(corpus, dim, vec_col, n_planes, t, "bucket")
-        qb = with_lsh_bucket(queries, dim, vec_col, n_planes, t, "bucket")
-        pair = (
-            cb.select(F.col(id_col).alias("neighbor_id"), "bucket",
-                      F.col(vec_col).alias("__cv"))
-            .join(qb.select(F.col(id_col).alias("query_id"), "bucket",
-                            F.col(vec_col).alias("__qv")), "bucket")
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", "__qv", "__cv")
-        )
-        cands = pair if cands is None else cands.unionByName(pair)
+    cb = with_lsh_buckets_multi(corpus, dim, vec_col, n_planes, tables) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b"),
+                F.col(vec_col).alias("__cv"))
+    qb = with_lsh_buckets_multi(queries, dim, vec_col, n_planes, tables) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b"),
+                F.col(vec_col).alias("__qv"))
+    cands = (cb.join(qb, ["t", "b"])
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id", "__qv", "__cv"))
     scored = (
         cands.dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id",
@@ -193,16 +214,13 @@ def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
                           n_planes: int = 10, tables: int = 6) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) via LSH buckets —
     the embedding-space member of the dedup family (operators/dedup.py)."""
-    pairs = None
-    for t in range(tables):
-        b = with_lsh_bucket(df, dim, vec_col, n_planes, t, "bucket")
-        x = b.select(F.col(id_col).alias("id_a"), F.col("bucket"),
-                     F.col(vec_col).alias("__va"))
-        y = b.select(F.col(id_col).alias("id_b"), F.col("bucket"),
-                     F.col(vec_col).alias("__vb"))
-        p = (x.join(y, "bucket").where(F.col("id_a") < F.col("id_b"))
+    b = with_lsh_buckets_multi(df, dim, vec_col, n_planes, tables)
+    x = b.select(F.col(id_col).alias("id_a"), F.col("__tb.t").alias("t"),
+                 F.col("__tb.b").alias("bb"), F.col(vec_col).alias("__va"))
+    y = b.select(F.col(id_col).alias("id_b"), F.col("__tb.t").alias("t"),
+                 F.col("__tb.b").alias("bb"), F.col(vec_col).alias("__vb"))
+    pairs = (x.join(y, ["t", "bb"]).where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "__va", "__vb"))
-        pairs = p if pairs is None else pairs.unionByName(p)
     return (
         pairs.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b",

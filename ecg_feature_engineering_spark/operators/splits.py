@@ -41,8 +41,11 @@ def explode_multilabel(df: DataFrame, label_col: str, out: str = "label",
     """Comma-list multi-label -> one row per label, trimmed, empties dropped
     (R1; the reference duplicates feature vectors per label — same here by
     construction of explode)."""
+    # \Q..\E quotes the separator: F.split takes a Java REGEX, so a
+    # bare '|' or '.' separator would split on every character
     labels = F.filter(
-        F.transform(F.split(F.col(label_col), sep), lambda x: F.trim(x)),
+        F.transform(F.split(F.col(label_col), "\\Q" + sep + "\\E"),
+                    lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
     return df.withColumn(out, F.explode(labels))

@@ -68,7 +68,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({
         "n_chars_q": n_chars.cast("long"),
         "n_words": n_words.cast("long"),
-        "mean_word_len": nz(n_chars - (n_words - 1), n_words),
+        # true mean token length (the old n_chars-(n_words-1) form
+        # assumed exactly one separator char between words — wrong
+        # for whitespace runs/padding, which the tokenizer collapses)
+        "mean_word_len": nz(
+            F.aggregate(F.transform(ws, lambda x: F.length(x)),
+                        F.lit(0), lambda acc, v: acc + v)
+            .cast("double"), n_words),
         "punct_ratio": nz(n_punct.cast("double"), n_chars),
         "stopword_ratio": nz(n_stop.cast("double"), n_words),
         "upper_ratio": nz(n_upper.cast("double"), n_chars),

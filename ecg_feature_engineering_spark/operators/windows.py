@@ -103,7 +103,8 @@ def sessionize(
     """
     w = entity_window(by, order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sec = epoch_seconds(df, order)
+    ts_col = order[0] if isinstance(order, (list, tuple)) else order
+    sec = epoch_seconds(df, ts_col)
     gap = sec - F.lag(sec).over(w)
     flag = F.when(gap > F.lit(gap_seconds), 1).otherwise(0)
     return df.withColumn(out, F.sum(flag).over(run).cast("long"))

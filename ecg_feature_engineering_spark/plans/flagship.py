@@ -55,24 +55,40 @@ def event_features(events: DataFrame, n_entities: int,
     (event_id, ts, user_id, event_type, value, props): lag diffs, trailing
     rolling stats, session ids + per-session running counts. All frames end at
     currentRow — leak-free by construction."""
+    # tie-break every window on event_id: user_ids FOLD into entities via
+    # pmod, so two users' events can share (entity_id, ts) — a ts-only
+    # order would make lag/rolling/session counts partition-order-
+    # dependent on such collisions
+    order = ["ts", "event_id"]
     ev = events.withColumn(
         "entity_id", F.format_string("ent%08d", F.pmod("user_id", F.lit(n_entities)))
-    ).select("entity_id", "ts", "value")
-    ev = windows.with_lag_diff(ev, "value", "entity_id", "ts", 1, "value_diff1")
-    ev = windows.with_lag_diff(ev, "value", "entity_id", "ts", 2, "value_diff2")
+    ).select("entity_id", "ts", "event_id", "value")
+    ev = windows.with_lag_diff(ev, "value", "entity_id", order, 1,
+                               "value_diff1")
+    ev = windows.with_lag_diff(ev, "value", "entity_id", order, 2,
+                               "value_diff2")
     ev = windows.rolling(
         ev, "value",
         {"roll_mean": "avg", "roll_min": "min", "roll_max": "max",
          "roll_std": "stddev_pop", "roll_n": "count"},
-        by="entity_id", order="ts", rows=rolling_rows,
+        by="entity_id", order=order, rows=rolling_rows,
     )
-    ev = windows.sessionize(ev, session_gap_s, "entity_id", "ts", "session_id")
+    ev = windows.sessionize(ev, session_gap_s, "entity_id", order,
+                            "session_id")
     from pyspark.sql import Window as _W
     run = (
-        windows.entity_window(["entity_id", "session_id"], "ts")
+        windows.entity_window(["entity_id", "session_id"], order)
         .rowsBetween(_W.unboundedPreceding, _W.currentRow)
     )
-    return ev.withColumn("session_event_n", F.count(F.lit(1)).over(run))
+    ev = ev.withColumn("session_event_n", F.count(F.lit(1)).over(run))
+    # this stream feeds an as-of RIGHT side, whose tie contract requires
+    # unique (entity, ts): keep the last event (max event_id) per tie —
+    # the entity's state as of that instant
+    return (ev.withColumn(
+        "__rn", F.row_number().over(
+            _W.partitionBy("entity_id", "ts")
+            .orderBy(F.col("event_id").desc())))
+        .where(F.col("__rn") == 1).drop("__rn", "event_id"))
 
 
 def feature_plan(images: DataFrame, snapshots: DataFrame,

@@ -77,7 +77,9 @@ def streaming_running_stats(events: DataFrame, by: str = "user_id",
         state.update((n, total))
         yield pd.DataFrame(
             [{by: key[0], "n": n, "total": total,
-              "mean": total / n if n else 0.0}])
+              # no observations -> NULL mean (the batch avg it twins),
+              # not a fake 0.0
+              "mean": total / n if n else None}])
 
     return events.groupBy(by).applyInPandasWithState(
         update, out_schema, state_schema, "update",
