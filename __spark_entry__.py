@@ -26,11 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(contract.QUERY_BUILDERS)
+    """One entry per implemented operator from SURVEY.md §2, in the
+    driver's certification-window order (contract.QUERY_ORDER — the
+    driver checks the first 50 entries)."""
+    return contract.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per relationally-expressible query;
     kernel-backed queries are rows-only (numeric oracles live in tests/)."""
-    return dict(contract.ORACLES)
+    return contract.ordered_oracles()

