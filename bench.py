@@ -50,10 +50,12 @@ def _datagen_version() -> str:
     h = hashlib.sha256()
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "ecg_feature_engineering_spark", "datagen")
-    for fname in sorted(os.listdir(base)):
-        if fname.endswith(".py"):
-            with open(os.path.join(base, fname), "rb") as f:
-                h.update(f.read())
+    # only the modules the image corpora derive from — hashing the whole
+    # package would invalidate staged corpora when an unrelated datagen
+    # module (e.g. the digest events corpus) changes
+    for fname in ("images.py", "codecs.py"):
+        with open(os.path.join(base, fname), "rb") as f:
+            h.update(f.read())
     return h.hexdigest()[:10]
 
 
@@ -63,8 +65,31 @@ SCALING_STAGE = os.environ.get(
     f"/tmp/spark_graft_scaling_images_{N_SCALING}_{_DGV}")
 SCALING_REPEATS = int(os.environ.get("BENCH_SCALING_REPEATS", "4"))
 # scan-partition size for the Python-kernel stage: must be sized by decode
-# CPU cost, not the 128MB JVM default, or the kernel can't parallelize
-SCALING_MPB = os.environ.get("BENCH_SCALING_MPB", "6m")
+# CPU cost, not the 128MB JVM default, or the kernel can't parallelize.
+# "auto" sizes partitions to the run's core count (total-bytes / (cores*8):
+# ~8 even waves per arm) — a fixed byte size gives the two arms different
+# wave remainders (e.g. 200 tasks = 12.5 waves at 16 cores but 50.0 at 4),
+# and the partial-wave straggler tail is charged ONLY to the wide arm,
+# understating scaling efficiency. Sizing scan splits to the cluster is
+# exactly what maxPartitionBytes is for at any scale.
+SCALING_MPB = os.environ.get("BENCH_SCALING_MPB", "auto")
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def _mpb_for(cores: int, stage: str) -> str:
+    if SCALING_MPB != "auto":
+        return SCALING_MPB
+    per = _dir_bytes(stage) // (cores * 8)
+    per = max(per, 2 * 1024 * 1024)  # floor: don't shatter tiny corpora
+    return str(per)
 
 # headline queries from the contract registry (each runs at the bench sf)
 CONTRACT_QUERIES = [
@@ -170,7 +195,8 @@ def _scaling_run_once(sf_dir: str, cores: int,
     stop_spark()
     spark = get_spark(
         app_name=f"bench-scale-{cores}", cores=cores,
-        extra_conf={"spark.sql.files.maxPartitionBytes": SCALING_MPB})
+        extra_conf={"spark.sql.files.maxPartitionBytes":
+                    _mpb_for(cores, SCALING_STAGE)})
     contract.ensure_workers_can_import(spark)
     warm_python_workers(spark)
     images = spark.read.parquet(SCALING_STAGE)
@@ -217,15 +243,19 @@ def scaling_evidence(sf_dir: str) -> dict:
         arm_order = (lo, hi) if rep % 2 == 0 else (hi, lo)
         for cores in arm_order:
             samples[cores].append(_scaling_run_once(sf_dir, cores))
-            if rep < 2:  # kernel-only arm: 2 interleaved samples suffice
-                ksamples[cores].append(
-                    _scaling_run_once(sf_dir, cores, kernel_only=True))
+            # kernel-only arm sampled every rep: VERDICT r2 grades the
+            # kernel pair on >=2-of-N samples clearing the bar, not
+            # best-of-2
+            ksamples[cores].append(
+                _scaling_run_once(sf_dir, cores, kernel_only=True))
         if run_secondary and rep < 1:  # secondary pair, one audit sample
             for cores in (lo2, hi2):
                 samples[cores].append(_scaling_run_once(sf_dir, cores))
     sec_n = round(min(samples[lo]), 3)
     sec_4n = round(min(samples[hi]), 3)
     ksec_n, ksec_4n = min(ksamples[lo]), min(ksamples[hi])
+    kpair_effs = [round(a / (4 * b), 3)
+                  for a, b in zip(ksamples[lo], ksamples[hi])]
     thr_n = N_SCALING / sec_n
     thr_4n = N_SCALING / sec_4n
     ceiling_pairs = ((lo, hi), (lo2, hi2)) if run_secondary \
@@ -264,6 +294,7 @@ def scaling_evidence(sf_dir: str) -> dict:
         "kernel_sec_n": round(ksec_n, 3),
         "kernel_sec_4n": round(ksec_4n, 3),
         "kernel_scaling_efficiency": round(ksec_n / (4 * ksec_4n), 3),
+        "kernel_pair_efficiencies": kpair_effs,
         # secondary pair: 8→32 exceeds this box's linear region — recorded
         # with the Spark-free control so the box-vs-engine split is
         # auditable (engine 8→32 ≈ control 8→32 means the loss is the box)
@@ -292,6 +323,16 @@ def main():
 
     for name in CONTRACT_QUERIES:
         timings[name] = bench_one(contract.QUERY_BUILDERS[name], spark, sf_dir)
+
+    # minhash production arm: the contract query runs md5-oracle mode (so
+    # DuckDB can replay it); the deployed default is xxhash64 — time BOTH
+    # so the headline doesn't overstate production cost (VERDICT r2 #6)
+    from ecg_feature_engineering_spark.operators import dedup
+    t0 = time.time()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    materialize(dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3, k=64,
+                                        bands=16, threshold=0.5, hash="xx"))
+    timings["minhash_lsh_xxhash"] = round(time.time() - t0, 3)
 
     # image corpus staged ONCE and scanned (production shape — the
     # measured pipelines read an image table; in-plan datagen would charge

@@ -337,8 +337,12 @@ SELECT user_id,
   round(max(value), 6) AS max_rr,
   round(min(value), 6) AS min_rr,
   round(avg(value), 6) AS mean_rr,
-  round(sum(CASE WHEN abs(d1) >= 15.0 THEN 1 ELSE 0 END) / count(value), 6)
-    AS pnn50,
+  -- coalesce mirrors the engine's safe_div F4 zero-guard (default 0.0)
+  -- for an all-null-value entity: count(value)=0 while the CASE sum is a
+  -- non-null 0, so /0 yields NULL here but 0.0 in the engine
+  round(coalesce(
+    sum(CASE WHEN abs(d1) >= 15.0 THEN 1 ELSE 0 END) / count(value), 0.0),
+    6) AS pnn50,
   round(sqrt(avg(d1 * d1)), 6) AS rmssd
 FROM d GROUP BY user_id
 """)
@@ -1171,19 +1175,87 @@ def q_cosine_topk(spark, sf_dir):
                       "neighbor_id", "cos")
 
 
-@register("lsh_topk")  # recall-dependent — rows-only; recall test in tests/
+def _with_planted_copies(emb: DataFrame, queries: DataFrame,
+                         id_offset: int = 1_000_000) -> DataFrame:
+    """Corpus = embeddings + a positively-scaled copy of every query
+    vector (id = query_id + offset). Scaling by +1.25 preserves every
+    coordinate's sign, so the copy lands in the SAME sign-LSH bucket in
+    every table (and the same IVF list) as its query — a correct
+    bucketed-ANN path MUST return it at rank 1 with cos 1.0, while a
+    broken bucketing/probe/re-rank path fails the digest. (Raw recall vs
+    exact top-k is ~0.05-0.08 on the testdata's isotropic random vectors —
+    honest for sign-LSH on structureless data, but too noisy to certify;
+    the planted-copy invariant is deterministic.)"""
+    vec_t = dict(zip(emb.schema.names,
+                     (f.dataType for f in emb.schema.fields)))["embedding"]
+    planted = queries.select(
+        (F.col("vec_id") + F.lit(id_offset)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25))
+        .cast(vec_t.simpleString()).alias("embedding"))
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
+def _rank1_planted_digest(topk: DataFrame,
+                          id_offset: int = 1_000_000) -> DataFrame:
+    r1 = topk.where(F.col("rank") == 1)
+    return r1.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("neighbor_id") == F.col("query_id") + id_offset)
+              .cast("int")).alias("n_rank1_planted"),
+        F.round(F.min("cos"), 6).alias("min_rank1_cos"))
+
+
+_ANN_DIGEST_SQL = """
+SELECT CAST(8 AS BIGINT) AS n_queries,
+       CAST(8 AS BIGINT) AS n_rank1_planted,
+       1.0::DOUBLE AS min_rank1_cos
+"""
+
+
+@register("lsh_topk", _ANN_DIGEST_SQL)
 def q_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed ANN top-k (the 100 TB path)."""
+    """Sign-LSH bucketed ANN top-k (the 100 TB path). Digest: every query
+    must rank its planted same-sign scaled copy first at cos 1.0
+    (see _with_planted_copies); per-neighbor recall behavior is
+    pytest-covered (tests/test_dedup_similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.where(F.col("vec_id") < 8), dim=64,
-                               k=5)
+    q = emb.where(F.col("vec_id") < 8)
+    corpus = _with_planted_copies(emb, q)
+    return _rank1_planted_digest(
+        similarity.lsh_topk(corpus, q, dim=64, k=5))
 
 
-@register("embedding_near_dup")  # LSH recall-dependent — rows-only
+@register("embedding_near_dup", """
+SELECT CAST(1 AS BIGINT) AS planted_found, 1.0::DOUBLE AS planted_cos,
+       CAST(0 AS BIGINT) AS n_below_threshold
+""")
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via LSH buckets."""
+    """Embedding-cosine near-duplicate pairs via LSH buckets. The raw
+    query returns 0 rows on the testdata (no natural pairs at 0.9 —
+    certifies nothing, VERDICT r2), so the contract plants one scaled
+    copy of vec 0 (id -1, same sign pattern -> same buckets, cos 1.0) and
+    digests: the planted pair MUST be found, and no emitted pair may sit
+    below the threshold."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(emb, dim=64, threshold=0.9)
+    id_t = dict(zip(emb.schema.names,
+                    (f.dataType.simpleString()
+                     for f in emb.schema.fields)))["vec_id"]
+    vec_t = dict(zip(emb.schema.names,
+                     (f.dataType.simpleString()
+                      for f in emb.schema.fields)))["embedding"]
+    planted = emb.where(F.col("vec_id") == 0).select(
+        F.lit(-1).cast(id_t).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25))
+        .cast(vec_t).alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pairs = similarity.cosine_near_dup_pairs(corpus, dim=64, threshold=0.9)
+    is_planted = (F.col("id_a") == -1) & (F.col("id_b") == 0)
+    return pairs.agg(
+        F.max(F.when(is_planted, 1).otherwise(0)).cast("long")
+        .alias("planted_found"),
+        F.round(F.max(F.when(is_planted, F.col("cos"))), 6)
+        .alias("planted_cos"),
+        F.sum((F.col("cos") < 0.9).cast("int")).alias("n_below_threshold"))
 
 
 # =====================================================================
@@ -1346,29 +1418,130 @@ def q_auc_scores(spark, sf_dir):
     return _round(per, ["auroc", "auprc"])
 
 
-@register("e3_pipeline")  # float-sum standardization -> rows-only;
-def q_e3_pipeline(spark, sf_dir):  # determinism + range tests in tests/
+_E3_DIGEST_SQL = """
+SELECT * FROM (VALUES
+  (0, CAST(1 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT),
+   CAST(3 AS BIGINT), 0.3125::DOUBLE, 0.1::DOUBLE, 0.333333::DOUBLE,
+   0.2::DOUBLE, 0.25::DOUBLE, 0.1625::DOUBLE),
+  (1, CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+   CAST(6 AS BIGINT), 0.263158::DOUBLE, 0.111111::DOUBLE,
+   0.583333::DOUBLE, 0.285714::DOUBLE, 0.40625::DOUBLE,
+   0.373512::DOUBLE),
+  (2, CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT),
+   CAST(4 AS BIGINT), 0.0::DOUBLE, 0.0::DOUBLE, 0.333333::DOUBLE,
+   0.0::DOUBLE, 0.272727::DOUBLE, 0.111111::DOUBLE),
+  (3, CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+   CAST(6 AS BIGINT), 0.263158::DOUBLE, 0.111111::DOUBLE,
+   0.583333::DOUBLE, 0.285714::DOUBLE, 0.53125::DOUBLE,
+   0.433333::DOUBLE),
+  (4, CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+   CAST(9 AS BIGINT), 0.0::DOUBLE, 0.0::DOUBLE, 0.75::DOUBLE,
+   0.0::DOUBLE, 0.090909::DOUBLE, 0.090909::DOUBLE)
+) AS t(class_idx, tp, fp, fn, tn, fbeta, gbeta, accuracy, fmeasure,
+       auroc, auprc)
+"""
+
+
+@register("e3_pipeline", _E3_DIGEST_SQL)
+def q_e3_pipeline(spark, sf_dir):
     """E3 — the reference's full model pipeline end to end
     (xgboost_clf.py:7-27, 215-260): feature-matrix column join ->
     StandardScaler analog -> hash split -> stand-in seeded scorer ->
-    challenge metrics per class on the held-out split."""
+    challenge metrics per class on the held-out split.
+
+    Certification: DuckDB cannot replay the softmax scorer, so the oracle
+    is the pinned per-class metric rows from the seeded sf-independent
+    corpus (datagen.events.events_df — the images_df digest pattern).
+    The pins are golden regression values computed by this engine once;
+    the component stages are independently oracle-backed (hrv_features /
+    basic_stats / long families / hash_split / beta & auc metric SQL) and
+    pytest checks determinism + metric ranges."""
+    from ecg_feature_engineering_spark.datagen import events as ev_gen
     from ecg_feature_engineering_spark.plans import feature_matrix as fm
-    ev = _events(spark, sf_dir)
-    return fm.e3_pipeline(ev, by="user_id")
+    ev = ev_gen.events_df(spark)
+    out = fm.e3_pipeline(ev, by="user_id")
+    out = out.select(
+        "class_idx",
+        *[F.col(c).cast("long").alias(c) for c in ("tp", "fp", "fn", "tn")],
+        *[F.col(c) for c in ("fbeta", "gbeta", "accuracy", "fmeasure",
+                             "auroc", "auprc")])
+    return _round(out, ["fbeta", "gbeta", "accuracy", "fmeasure",
+                        "auroc", "auprc"])
 
 
-@register("long_features_parity")  # composite of oracle-backed families;
-def q_long_features_parity(spark, sf_dir):  # arity contract in tests/
+_LONG_DIGEST_SQL = """
+SELECT CAST(50 AS BIGINT) AS n_users, CAST(94 AS BIGINT) AS n_cols,
+       CAST(1 AS BIGINT) AS dup_parity,
+       CAST(-1250 AS BIGINT) AS chk_lb_median,
+       CAST(1541 AS BIGINT) AS chk_zero_cross,
+       CAST(3334000200 AS BIGINT) AS chk_band0,
+       CAST(2315 AS BIGINT) AS chk_snr,
+       CAST(2874 AS BIGINT) AS chk_acf1,
+       CAST(1572 AS BIGINT) AS chk_zigzag,
+       CAST(-14 AS BIGINT) AS chk_lb_skew,
+       CAST(4022626 AS BIGINT) AS chk_wv0
+"""
+
+
+@register("long_features_parity", _LONG_DIGEST_SQL)
+def q_long_features_parity(spark, sf_dir):
     """LONG block with the reference's duplicated-column quirk replicated
     (LONG_features.py:265-281: FFTBandPower x3, zigzag x2) — output arity
     matches LONG_FEATURE.csv (~102 cols/lead). Values of the dup columns
     are identical copies; each underlying family is separately
     oracle-backed (long_stats, crossing_count, autocorr, zigzag,
-    crossing_widths, fft_features, wavelet_stats)."""
+    crossing_widths, fft_features, wavelet_stats).
+
+    Certification digest over the seeded sf-independent corpus: row
+    count, column ARITY (the parity contract), dup-column equality across
+    all 13 duplicated columns, and per-family integer checksums
+    (per-entity values quantized BEFORE the cross-entity integer sum, so
+    the digest is aggregation-order-independent). Pinned golden
+    constants; per-family values are separately oracle-backed."""
+    from ecg_feature_engineering_spark.datagen import events as ev_gen
     from ecg_feature_engineering_spark.plans import long_block
-    ev = _events(spark, sf_dir)
+    ev = ev_gen.events_df(spark)
     out = long_block.long_features(ev, by="user_id", fs=1.0, parity=True)
-    return _round(out, [c for c in out.columns if c != "user_id"])
+    dup_eq = F.lit(True)
+    for i in range(6):
+        dup_eq = (dup_eq & (F.col(f"band{i}") == F.col(f"band{i}_dup1"))
+                  & (F.col(f"band{i}") == F.col(f"band{i}_dup2")))
+    dup_eq = dup_eq & (F.col("zigzag") == F.col("zigzag_dup1"))
+    n_cols = len(out.columns)
+
+    def chk(col: str, scale: float):
+        return (F.sum(F.round(F.col(col) * scale).cast("long"))
+                .alias(f"chk_{col}"))
+
+    return out.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.lit(n_cols).cast("long").alias("n_cols"),
+        F.min(dup_eq.cast("int")).cast("long").alias("dup_parity"),
+        chk("lb_median", 1000.0),
+        F.sum("zero_cross_cnt").alias("chk_zero_cross"),
+        chk("band0", 1000.0),
+        # at fs=1.0 the reference's Hz-denominated bands 1-5 are empty, so
+        # total_power == band0 (redundant) and band_entropy == 0; snr is
+        # the informative spectral second checksum
+        chk("snr", 1000.0),
+        chk("acf1", 1000.0),
+        F.sum("zigzag").alias("chk_zigzag"),
+        # the thres_cross family is excluded from the checksums on
+        # purpose: its threshold is the entity MEAN (a float aggregate),
+        # and when the mean coincides exactly with a sample value —
+        # possible here because both live on decimal grids — aggregation
+        # -order last-ulp noise in the mean flips which side that sample
+        # counts on (measured: 4-core vs 32-core runs differ by 1 count;
+        # mean_width additionally lands exactly on .5 rounding
+        # boundaries). The family is certified by the dedicated
+        # crossing_widths oracle on the driver tables instead. Same
+        # reason bars lb_var/lb_range checksums: 2-decimal inputs put
+        # variance on a decimal grid that hits exact .5*scale rounding
+        # boundaries (measured drift); skew's irrational sqrt denominator
+        # keeps it off-grid, so its rounding is drift-proof.
+        chk("lb_skew", 1000.0),
+        chk("wv0", 1000.0),
+    )
 
 
 @register("deep_features", """
@@ -1485,11 +1658,12 @@ def q_sample_entropy(spark, sf_dir):
     so the <= r comparisons can't straddle the ulp gap. Kernel's
     short-series patch (n < m+2) never binds at >= 60 events/entity."""
     ev = _events(spark, sf_dir)
-    # relational (pure-JVM self-join) — 3-4x the Arrow kernel's speed at
-    # this events-per-entity scale; the kernel remains the long-series
-    # path (see stats.sample_entropy_relational crossover note)
-    out = stats.sample_entropy_relational(ev, "value", "user_id", _ORDER,
-                                          m_max=2)
+    # auto-gated path (stats.sample_entropy_auto): the relational
+    # self-join (3-4x the Arrow kernel at this events-per-entity scale)
+    # below the crossover, the tiled kernel above it — the headline query
+    # stays scale-safe unattended (VERDICT r2 #8)
+    out = stats.sample_entropy_auto(ev, "value", "user_id", _ORDER,
+                                    m_max=2)
     return _round(out, ["sampen1", "sampen2"])
 
 
@@ -2307,13 +2481,18 @@ def q_nan_scrub(spark, sf_dir):
             .select("event_id", "user_id", "value_scrubbed"))
 
 
-@register("ivf_topk")  # quantizer-dependent recall — rows-only; tests/
+@register("ivf_topk", _ANN_DIGEST_SQL)
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN — KMeans coarse quantizer + inverted-list probe + exact
-    re-rank (the second scale path beside sign-LSH)."""
+    re-rank (the second scale path beside sign-LSH). Digest: a planted
+    scaled copy of each query has an identical centroid-cosine profile,
+    so it lands in the query's own nearest list — the n_probe>=1 probe
+    MUST surface it at rank 1 / cos 1.0 (see _with_planted_copies)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=5,
-                               n_lists=8, n_probe=3)
+    q = emb.where(F.col("vec_id") < 8)
+    corpus = _with_planted_copies(emb, q)
+    return _rank1_planted_digest(
+        similarity.ivf_topk(corpus, q, k=5, n_lists=8, n_probe=3))
 
 
 @register("image_resize", """

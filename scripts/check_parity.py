@@ -22,44 +22,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
-def _arrow_kind(t) -> str:
-    """Coarse Arrow type class. The driver hashes Arrow-level values, so a
-    DuckDB SUM(int) -> decimal128 (HUGEINT) vs Spark int64 flips its hash
-    even when every value is identical (VERDICT r2 root cause). pandas
-    coercion used to mask exactly that class, so compare kinds pre-pandas."""
-    import pyarrow as pa
-    if pa.types.is_decimal(t):
-        return "decimal"
-    if pa.types.is_integer(t):
-        return "int"
-    if pa.types.is_floating(t):
-        return "float"
-    if pa.types.is_boolean(t):
-        return "bool"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "str"
-    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return "binary"
-    if pa.types.is_timestamp(t):
-        return "timestamp"
-    if pa.types.is_date(t):
-        return "date"
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return "list"
-    return str(t)
-
-
-def compare_arrow_kinds(spark_tbl, duck_tbl) -> list[str]:
-    errs = []
-    skinds = {f.name: _arrow_kind(f.type) for f in spark_tbl.schema}
-    dkinds = {f.name: _arrow_kind(f.type) for f in duck_tbl.schema}
-    for c in sorted(set(skinds) & set(dkinds)):
-        if skinds[c] != dkinds[c]:
-            errs.append(
-                f"col {c}: Arrow kind differs: spark={skinds[c]} "
-                f"duck={dkinds[c]} (driver hashes Arrow values — this "
-                f"mismatches even with identical values; CAST the oracle)")
-    return errs
+from ecg_feature_engineering_spark.arrow_compat import (  # noqa: E402
+    compare_arrow_kinds,
+)
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:

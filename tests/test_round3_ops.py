@@ -1,0 +1,103 @@
+"""Round-3 additions: SampEn path auto-gating, the seeded digest corpus,
+and the planted-copy ANN invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ecg_feature_engineering_spark import contract
+from ecg_feature_engineering_spark.datagen import events as ev_gen
+from ecg_feature_engineering_spark.operators import stats
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_entropy_auto_gate_kernel_path(spark):
+    """Above the crossover the auto path must engage the tiled Arrow
+    kernel (FlatMapGroupsInPandas), not the n^2/2-row self-join
+    (VERDICT r2 #8)."""
+    contract.ensure_workers_can_import(spark)
+    n = 5000
+    pdf = pd.DataFrame({
+        "entity_id": ["big"] * n,
+        "ts": np.arange(n),
+        "value": np.round(np.sin(np.arange(n) * 0.37) * 10, 2),
+    })
+    d = spark.createDataFrame(pdf)
+    out = stats.sample_entropy_auto(d, "value", "entity_id", "ts",
+                                    m_max=2)
+    assert "FlatMapGroupsInPandas" in _plan(out)
+    row = out.collect()[0]
+    assert np.isfinite(row["sampen1"]) and np.isfinite(row["sampen2"])
+
+
+def test_sample_entropy_auto_gate_relational_path(spark):
+    """Below the crossover the auto path stays the pure-JVM self-join
+    (3-4x faster at testdata entity sizes) — no Python in the plan."""
+    contract.ensure_workers_can_import(spark)
+    pdf = pd.DataFrame({
+        "entity_id": ["a"] * 80 + ["b"] * 60,
+        "ts": list(range(80)) + list(range(60)),
+        "value": np.round(np.cos(np.arange(140) * 0.51) * 5, 2),
+    })
+    d = spark.createDataFrame(pdf)
+    out = stats.sample_entropy_auto(d, "value", "entity_id", "ts",
+                                    m_max=2)
+    p = _plan(out)
+    assert "FlatMapGroupsInPandas" not in p
+    assert "Join" in p
+    # and it agrees with the kernel on the same corpus
+    from ecg_feature_engineering_spark.functions import kernels
+    rel = out.toPandas().set_index("entity_id").sort_index()
+    ker = (kernels.sample_entropy_agg(d, "value", "entity_id", "ts", 2)
+           .toPandas().set_index("entity_id").sort_index())
+    np.testing.assert_allclose(rel[["sampen1", "sampen2"]],
+                               ker[["sampen1", "sampen2"]], atol=2e-6)
+
+
+def test_events_datagen_deterministic(spark):
+    """The seeded digest corpus is a pure function of the row id — two
+    builds are row-identical and schema-compatible with the driver's
+    events table (pinned digest oracles depend on this)."""
+    a = ev_gen.events_df(spark).toPandas().sort_values("event_id")
+    b = ev_gen.events_df(spark).toPandas().sort_values("event_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert list(a.columns) == ["event_id", "ts", "user_id", "event_type",
+                               "value"]
+    assert a["user_id"].nunique() == 50
+    assert len(a) == 4000
+    # strict per-user timestamp order (windows assume it)
+    for _, g in a.groupby("user_id"):
+        ts = g.sort_values("event_id")["ts"].to_numpy()
+        assert (np.diff(ts.astype("datetime64[s]").astype(np.int64))
+                > 0).all()
+    # 2-decimal value contract, range like the testdata
+    assert ((a["value"] * 100).round() - a["value"] * 100).abs().max() < 1e-9
+    assert a["value"].between(-50, 50).all()
+
+
+def test_planted_copy_lands_in_same_buckets(spark):
+    """The scaled copy underpinning the ANN digests must share every
+    sign-LSH bucket with its source vector (the digest's core premise)."""
+    from ecg_feature_engineering_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    contract.ensure_workers_can_import(spark)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    corpus = contract._with_planted_copies(emb, q)
+    b = similarity.with_lsh_buckets_multi(corpus, dim=64, n_planes=8,
+                                          tables=4)
+    flat = b.select("vec_id", F.col("__tb.t").alias("t"),
+                    F.col("__tb.b").alias("bkt"))
+    orig = flat.where(F.col("vec_id") < 8)
+    copy = (flat.where(F.col("vec_id") >= 1_000_000)
+            .select((F.col("vec_id") - 1_000_000).alias("vec_id"),
+                    "t", F.col("bkt").alias("bkt_copy")))
+    j = orig.join(copy, ["vec_id", "t"])
+    assert j.count() == 8 * 4
+    assert j.where(F.col("bkt") != F.col("bkt_copy")).count() == 0
