@@ -177,11 +177,20 @@ def box_ceiling(pairs=((4, 16), (8, 32))) -> dict:
     total = int(os.environ.get("BENCH_CEILING_REPS", "1600"))
     out = {}
     for lo, hi in pairs:
-        t_lo = min(_ceiling_pool_run(lo, blob, total) for _ in range(2))
-        t_hi = min(_ceiling_pool_run(hi, blob, total) for _ in range(2))
+        # interleave lo/hi samples (3 each): a sequential lo-block then
+        # hi-block control once recorded a "1.6 efficiency" because the
+        # whole lo block landed in a slow drift window — the control must
+        # face the same drift exposure as the interleaved engine arms
+        lo_s, hi_s = [], []
+        for _ in range(3):
+            lo_s.append(_ceiling_pool_run(lo, blob, total))
+            hi_s.append(_ceiling_pool_run(hi, blob, total))
+        t_lo, t_hi = min(lo_s), min(hi_s)
         out[f"eff_{lo}to{hi}"] = round(t_lo / (4 * t_hi), 3)
         out[f"sec_{lo}"] = round(t_lo, 2)
         out[f"sec_{hi}"] = round(t_hi, 2)
+        out[f"pair_effs_{lo}to{hi}"] = [
+            round(a / (4 * b), 3) for a, b in zip(lo_s, hi_s)]
     return out
 
 
@@ -195,8 +204,17 @@ def _scaling_run_once(sf_dir: str, cores: int,
     stop_spark()
     spark = get_spark(
         app_name=f"bench-scale-{cores}", cores=cores,
-        extra_conf={"spark.sql.files.maxPartitionBytes":
-                    _mpb_for(cores, SCALING_STAGE)})
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes":
+                _mpb_for(cores, SCALING_STAGE),
+            # the staged corpus is 256 small files; the default 4MB
+            # per-file open cost would dominate packing and pin the task
+            # count at bytes/(size+4MB) regardless of maxPartitionBytes —
+            # with a realistic open cost the adaptive sizing above
+            # actually controls wave count
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+            "spark.ui.showConsoleProgress": "false",
+        })
     contract.ensure_workers_can_import(spark)
     warm_python_workers(spark)
     images = spark.read.parquet(SCALING_STAGE)
@@ -283,6 +301,9 @@ def scaling_evidence(sf_dir: str) -> dict:
         # (order alternated), so the best pair is the least
         # drift-contaminated measurement the round produced
         "best_pair_efficiency": max(pair_effs) if pair_effs else None,
+        "median_pair_efficiency": round(
+            sorted(pair_effs)[len(pair_effs) // 2], 3) if pair_effs
+        else None,
         # efficiency net of what the BOX itself loses at the same pair
         # (Spark-free control below): ≈1.0 means the engine adds no
         # scaling loss beyond the host's own saturation
