@@ -101,3 +101,37 @@ def test_planted_copy_lands_in_same_buckets(spark):
     j = orig.join(copy, ["vec_id", "t"])
     assert j.count() == 8 * 4
     assert j.where(F.col("bkt") != F.col("bkt_copy")).count() == 0
+
+
+def test_simhash_kernel_null_text_matches_relational(spark):
+    """Null text must fingerprint to 0 in BOTH twins — the kernel used to
+    tokenize str(None) as the word 'none' (ADVICE r2)."""
+    import pandas as pd
+    from ecg_feature_engineering_spark.operators import dedup
+
+    contract.ensure_workers_can_import(spark)
+    d = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [None, "none", "hello world"],
+    }))
+    rel = (dedup.simhash64_relational(d).toPandas()
+           .set_index("doc_id")["simhash"].sort_index())
+    ker = (dedup.simhash64(d).toPandas()
+           .set_index("doc_id")["simhash"].sort_index())
+    assert (rel == ker).all()
+    assert rel.loc[1] == 0
+    assert rel.loc[2] != 0  # the literal word 'none' must NOT collide
+
+
+def test_checkpoint_lineage_mode_local(spark, tmp_path):
+    """Local roots record file-level lineage; the manifest carries the
+    lineage_mode marker so a remote-root metadata-only manifest (where
+    os.walk sees nothing) is distinguishable from a genuinely empty
+    stage (ADVICE r2)."""
+    from ecg_feature_engineering_spark.checkpoint import StageCheckpointer
+
+    cp = StageCheckpointer(spark, str(tmp_path))
+    meta = cp.write("s1", spark.range(100).toDF("id"))
+    assert meta["lineage_mode"] == "files"
+    assert meta["n_partitions"] == len(meta["partitions"]) > 0
+    assert all(p["bytes"] > 0 for p in meta["partitions"])
