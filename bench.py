@@ -111,6 +111,17 @@ CONTRACT_QUERIES = [
 ]
 
 
+def _median(xs: list[float]) -> float | None:
+    """True median — for the default even sample count, upper-middle
+    indexing would report the 2nd-best pair as the 'median'."""
+    if not xs:
+        return None
+    s = sorted(xs)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 3)
+
+
 def materialize(df) -> int:
     """Force full computation of every column without collecting to the
     driver (noop sink keeps the sink cost out of the measurement)."""
@@ -301,9 +312,7 @@ def scaling_evidence(sf_dir: str) -> dict:
         # (order alternated), so the best pair is the least
         # drift-contaminated measurement the round produced
         "best_pair_efficiency": max(pair_effs) if pair_effs else None,
-        "median_pair_efficiency": round(
-            sorted(pair_effs)[len(pair_effs) // 2], 3) if pair_effs
-        else None,
+        "median_pair_efficiency": _median(pair_effs),
         # efficiency net of what the BOX itself loses at the same pair
         # (Spark-free control below): ≈1.0 means the engine adds no
         # scaling loss beyond the host's own saturation
@@ -347,13 +356,16 @@ def main():
 
     # minhash production arm: the contract query runs md5-oracle mode (so
     # DuckDB can replay it); the deployed default is xxhash64 — time BOTH
-    # so the headline doesn't overstate production cost (VERDICT r2 #6)
+    # so the headline doesn't overstate production cost (VERDICT r2 #6).
+    # Kept OUT of the summed headline total: rounds 1-2 never measured
+    # this arm, and silently growing the total would fake a regression
+    # in any round-over-round comparison.
     from ecg_feature_engineering_spark.operators import dedup
     t0 = time.time()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     materialize(dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3, k=64,
                                         bands=16, threshold=0.5, hash="xx"))
-    timings["minhash_lsh_xxhash"] = round(time.time() - t0, 3)
+    minhash_xx_sec = round(time.time() - t0, 3)
 
     # image corpus staged ONCE and scanned (production shape — the
     # measured pipelines read an image table; in-plan datagen would charge
@@ -398,6 +410,9 @@ def main():
         "images_per_sec_flagship": round(N_IMAGES / flagship_sec, 1),
         "images_per_sec_decode": round(
             N_IMAGES / timings["image_decode_stats"], 1),
+        # production-mode MinHash arm, reported OUTSIDE the summed total
+        # (see the measurement note above)
+        "minhash_lsh_xxhash_sec": minhash_xx_sec,
     }
     if scaling:
         out["scaling"] = scaling

@@ -1186,8 +1186,7 @@ def _with_planted_copies(emb: DataFrame, queries: DataFrame,
     exact top-k is ~0.05-0.08 on the testdata's isotropic random vectors —
     honest for sign-LSH on structureless data, but too noisy to certify;
     the planted-copy invariant is deterministic.)"""
-    vec_t = dict(zip(emb.schema.names,
-                     (f.dataType for f in emb.schema.fields)))["embedding"]
+    vec_t = emb.schema["embedding"].dataType
     planted = queries.select(
         (F.col("vec_id") + F.lit(id_offset)).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.25))
@@ -1237,12 +1236,8 @@ def q_embedding_near_dup(spark, sf_dir):
     digests: the planted pair MUST be found, and no emitted pair may sit
     below the threshold."""
     emb = _t(spark, sf_dir, "embeddings")
-    id_t = dict(zip(emb.schema.names,
-                    (f.dataType.simpleString()
-                     for f in emb.schema.fields)))["vec_id"]
-    vec_t = dict(zip(emb.schema.names,
-                     (f.dataType.simpleString()
-                      for f in emb.schema.fields)))["embedding"]
+    id_t = emb.schema["vec_id"].dataType.simpleString()
+    vec_t = emb.schema["embedding"].dataType.simpleString()
     planted = emb.where(F.col("vec_id") == 0).select(
         F.lit(-1).cast(id_t).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.25))

@@ -40,7 +40,6 @@ def events_df(spark: SparkSession, n_users: int = 50,
         F.col("id").alias("event_id"),
         F.pmod(F.col("id"), F.lit(n_users)).alias("user_id"),
     )
-    seq = ((F.col("event_id") - F.col("user_id")) / n_users).cast("long")
     h1 = _h(F.col("event_id"), seed)
     h2 = _h(F.col("event_id"), seed + 1)
     h3 = _h(F.col("event_id"), seed + 2)
@@ -49,9 +48,9 @@ def events_df(spark: SparkSession, n_users: int = 50,
     # chance of a 25 000 s jump creates multi-session users
     step = (F.lit(37) + F.pmod(h2, F.lit(30))
             + F.when(F.pmod(h3, F.lit(50)) == 0, 25_000).otherwise(0))
-    # cumulative per-user offset without a window: seq * 37 as the floor
-    # plus a deterministic per-event extra — strict monotonicity needs the
-    # cumulative sum, so use a window over the tiny per-user partitions
+    # strictly increasing per-user ts needs the cumulative step sum — a
+    # window over the tiny per-user partitions (deterministic: step is a
+    # pure function of event_id, the order key)
     from pyspark.sql import Window
     w = (Window.partitionBy("user_id").orderBy("event_id")
          .rowsBetween(Window.unboundedPreceding, 0))

@@ -447,28 +447,30 @@ def sample_entropy_qrs_agg(df, value: str = "value", by: str = "entity_id",
         .applyInPandas(agg, schema)
 
 
-def sample_entropy_agg(df, value: str = "value", by: str = "entity_id",
+def sample_entropy_agg(df, value: str = "value", by="entity_id",
                        order: str = "ts", m_max: int = 2):
     """Per-entity SampEn UDAF (U4) via applyInPandas — the reference's only
     genuinely non-relational aggregate (QRS_features.py:59-246, O(n²) state
-    machine; here vectorized numpy per group)."""
+    machine; here vectorized numpy per group). ``by`` may be one column or
+    a composite-key list (the relational twin and the auto-gate accept
+    lists, so the kernel must too)."""
     # order may be one column or a tie-breaking list, e.g.
     # ("ts", "event_id") — duplicate timestamps sort deterministically
     order_cols = [order] if isinstance(order, str) else list(order)
+    by_cols = [by] if isinstance(by, str) else list(by)
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf.sort_values(order_cols)[value].to_numpy()
         se = sample_entropy_np(x, m_max=m_max)
-        row = {by: pdf[by].iloc[0]}
+        row = {c: pdf[c].iloc[0] for c in by_cols}
         for m in range(1, m_max + 1):
             row[f"sampen{m}"] = se[m - 1]
         return pd.DataFrame([row])
 
-    by_type = dict(zip(df.schema.names,
-                       (f.dataType.simpleString() for f in df.schema.fields)))[by]
-    schema = f"{by} {by_type}, " + ", ".join(
-        f"sampen{m} double" for m in range(1, m_max + 1))
-    return df.select(by, *order_cols, value).groupBy(by) \
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = (", ".join(f"{c} {types[c]}" for c in by_cols) + ", "
+              + ", ".join(f"sampen{m} double" for m in range(1, m_max + 1)))
+    return df.select(*by_cols, *order_cols, value).groupBy(*by_cols) \
         .applyInPandas(agg, schema)
 
 

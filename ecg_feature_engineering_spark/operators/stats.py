@@ -464,9 +464,7 @@ def sample_entropy_auto(df: DataFrame, value: str = "value",
              .agg(F.max("count").alias("m")).collect()[0]["m"]) or 0
     if max_n <= max_relational:
         return sample_entropy_relational(df, value, by, order, m_max)
-    # kernel path takes scalar by/order args in its current signature
-    by_k = by_l[0] if len(by_l) == 1 else by_l
-    return kernels.sample_entropy_agg(df, value, by_k, order, m_max)
+    return kernels.sample_entropy_agg(df, value, by_l, order, m_max)
 
 
 def sample_entropy_relational(df: DataFrame, value: str = "value",

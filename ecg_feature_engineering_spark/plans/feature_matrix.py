@@ -154,4 +154,11 @@ def e3_pipeline(events: DataFrame, by: str = "user_id",
     preds = preds.persist()
     beta = metrics.beta_scores(preds, beta=2.0)
     auc = metrics.auc_scores(preds)
-    return beta.join(auc, "class_idx").orderBy("class_idx")
+    out = beta.join(auc, "class_idx").orderBy("class_idx")
+    # materialize the (n_classes-row) result eagerly, then release both
+    # cached inputs — otherwise every invocation in a shared session pins
+    # two dead cached DataFrames for the session's lifetime
+    out = out.localCheckpoint(eager=True)
+    m.unpersist()
+    preds.unpersist()
+    return out

@@ -161,3 +161,54 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.columns) > 5
+
+
+def test_checkpoint_uri_root_roundtrip(spark, tmp_path):
+    """Checkpoint metadata goes through the Hadoop FileSystem API, so a
+    scheme-qualified root (here file://) must behave exactly like a plain
+    local path — manifest commit, resume skip, lineage, metrics. (The os-
+    I/O implementation wrote manifests into a literal local './hdfs:/...'
+    directory for remote roots.)"""
+    from ecg_feature_engineering_spark.checkpoint import StageCheckpointer
+
+    root = f"file://{tmp_path}/ckpt"
+    cp = StageCheckpointer(spark, root, params={"x": 1})
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(50).toDF("id")
+
+    a = cp.run("s1", build)
+    assert a.count() == 50 and calls == [1]
+    b = cp.run("s1", build)  # resume: must NOT recompute
+    assert b.count() == 50 and calls == [1]
+    ms = cp.metrics()
+    assert len(ms) == 1 and ms[0]["rows"] == 50
+    assert ms[0]["n_partitions"] > 0
+    # different params invalidate the stage
+    cp2 = StageCheckpointer(spark, root, params={"x": 2})
+    cp2.run("s1", build)
+    assert calls == [1, 1]
+
+
+def test_sample_entropy_auto_composite_key_kernel_path(spark):
+    """Composite-key grouping must survive the kernel path too (the agg
+    previously accepted only a scalar `by`, so the auto-gate worked small
+    and crashed exactly when it mattered)."""
+    contract.ensure_workers_can_import(spark)
+    n = 2500
+    pdf = pd.DataFrame({
+        "rec": ["r1"] * n + ["r1"] * 40,
+        "lead": ["I"] * n + ["II"] * 40,
+        "ts": list(range(n)) + list(range(40)),
+        "value": np.round(np.sin(np.arange(n + 40) * 0.29) * 8, 2),
+    })
+    d = spark.createDataFrame(pdf)
+    out = stats.sample_entropy_auto(
+        d, "value", ["rec", "lead"], "ts", m_max=2,
+        max_relational=1000)
+    assert "FlatMapGroupsInPandas" in _plan(out)
+    rows = {(r["rec"], r["lead"]): r for r in out.collect()}
+    assert set(rows) == {("r1", "I"), ("r1", "II")}
+    assert np.isfinite(rows[("r1", "I")]["sampen1"])
