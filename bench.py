@@ -138,15 +138,26 @@ def bench_one(fn, *args) -> float:
 def _scaling_stage(sf_dir: str) -> None:
     """Write the scaling corpus once (production shape: the measured job
     SCANS an image table, it doesn't generate one)."""
-    if os.path.exists(f"{SCALING_STAGE}/_SUCCESS"):
-        return
-    spark = get_spark(app_name="bench-stage", cores=32)
-    contract.ensure_workers_can_import(spark)
-    datagen.images_df(spark, N_SCALING, seed=42, min_side=24, max_side=32,
-                      parts=256).write.mode("overwrite").parquet(SCALING_STAGE)
-    datagen.snapshots_df(spark, N_SCALING // 20, 12, seed=42).write.mode(
-        "overwrite").parquet(SCALING_STAGE + "_snapshots")
-    stop_spark()
+    if not os.path.exists(f"{SCALING_STAGE}/_SUCCESS"):
+        spark = get_spark(app_name="bench-stage", cores=32)
+        contract.ensure_workers_can_import(spark)
+        datagen.images_df(spark, N_SCALING, seed=42, min_side=24,
+                          max_side=32, parts=256
+                          ).write.mode("overwrite").parquet(SCALING_STAGE)
+        datagen.snapshots_df(spark, N_SCALING // 20, 12, seed=42
+                             ).write.mode("overwrite").parquet(
+            SCALING_STAGE + "_snapshots")
+        stop_spark()
+    # warm the OS page cache over the corpus before ANY timed sample:
+    # whichever arm runs first otherwise absorbs the disk first-touch
+    # (measured: a 1.6-1.8x outlier on sample 1 of the first arm), which
+    # the min-estimator only partially rejects at 4-5 samples/arm
+    for d in (SCALING_STAGE, SCALING_STAGE + "_snapshots"):
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                with open(os.path.join(root, fn), "rb") as f:
+                    while f.read(1 << 22):
+                        pass
 
 
 def _ceiling_worker(args):

@@ -1729,11 +1729,83 @@ def q_fft(spark, sf_dir):
                          "total_power")], n=2)
 
 
-@register("flagship")
+_FLAGSHIP_DIGEST_SQL = """
+SELECT CAST(240 AS BIGINT) AS n_rows,
+       CAST(236 AS BIGINT) AS n_img_matched,
+       CAST(240 AS BIGINT) AS n_ev_matched,
+       CAST(12 AS BIGINT) AS n_entities,
+       CAST(29984302 AS BIGINT) AS chk_luma_mean,
+       CAST(11511924 AS BIGINT) AS chk_luma_std,
+       CAST(7668 AS BIGINT) AS chk_phash_bits,
+       CAST(312 AS BIGINT) AS chk_hamming,
+       CAST(3763 AS BIGINT) AS chk_words,
+       CAST(559 AS BIGINT) AS chk_punct,
+       CAST(30972 AS BIGINT) AS chk_value,
+       CAST(-38000 AS BIGINT) AS chk_diff1,
+       CAST(6772916 AS BIGINT) AS chk_roll_std,
+       CAST(2400 AS BIGINT) AS chk_roll_n,
+       CAST(17788 AS BIGINT) AS chk_sess_n
+"""
+
+
+@register("flagship", _FLAGSHIP_DIGEST_SQL)
 def q_flagship(spark, sf_dir):
-    """E1 — the full as-of + windowed feature-vector pipeline (rows-only;
-    allclose + leakage asserted in tests/test_flagship.py)."""
-    return flagship_plan.flagship(spark, sf_dir, n_images=_KERNEL_N_IMAGES)
+    """E1 — the full as-of + windowed feature-vector pipeline. The raw
+    per-(entity, as_of_ts) feature rows stay the ``entry()`` smoke and the
+    bench/pytest surface (allclose + leakage in tests/test_flagship.py);
+    the contract query certifies the SAME feature_plan over the seeded
+    sf-independent corpus with a pinned digest (the e3_pipeline pattern).
+
+    Digest stability: every checksummed column is a per-row value from a
+    deterministic computation (Arrow image kernel over fixed bytes, or a
+    window aggregate over a fully tie-broken frame — sequential per
+    partition, so bit-identical at any core count), quantized per row
+    BEFORE the order-independent integer sum. Timestamp columns are
+    excluded: the seeded snapshot/image grid is built from naive
+    datetimes (session-TZ-local instants), so the event stream below is
+    rebased through the same session-TZ parse to keep every event↔snapshot
+    alignment TZ-invariant even though no absolute instant is."""
+    from ecg_feature_engineering_spark.datagen import events as ev_gen
+    from ecg_feature_engineering_spark.datagen import images as img_gen
+    n_images, n_entities, seed = 240, 12, 42
+    images = img_gen.images_df(spark, n_images, seed, n_entities)
+    snapshots = img_gen.snapshots_df(spark, n_entities, 20, seed)
+    ev = ev_gen.events_df(spark)
+    # rebase the seeded event stream into the snapshot grid's 2-day
+    # window: strip the corpus base (1.6e9 + user_id*1e6), re-spread
+    # users 30 min apart from noon before the (session-TZ-local) grid
+    # epoch — parsed the same way the grid's naive datetimes are, so the
+    # relative alignment survives any driver TZ
+    rel = (F.unix_timestamp("ts") - F.lit(1_600_000_000)
+           - F.col("user_id").cast("long") * F.lit(1_000_000))
+    base = F.unix_timestamp(F.to_timestamp(F.lit("2023-12-31 12:00:00")))
+    ev = ev.withColumn(
+        "ts", F.timestamp_seconds(
+            base + F.col("user_id").cast("long") * F.lit(1_800) + rel))
+    out = flagship_plan.feature_plan(images, snapshots, ev, n_entities)
+
+    def chk(col: str, scale: float):
+        return (F.sum(F.round(F.col(col) * scale).cast("long"))
+                .alias(f"chk_{col}"))
+
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("image_id").alias("n_img_matched"),
+        F.count("event_ts").alias("n_ev_matched"),
+        F.countDistinct("entity_id").alias("n_entities"),
+        chk("luma_mean", 1000.0), chk("luma_std", 1000.0),
+        F.sum("phash_bits").cast("long").alias("chk_phash_bits"),
+        F.sum("phash_hamming").cast("long").alias("chk_hamming"),
+        F.sum("n_words").cast("long").alias("chk_words"),
+        F.sum(F.round(F.col("punct_ratio") * 1000).cast("long"))
+        .alias("chk_punct"),
+        chk("value", 100.0), F.sum(
+            F.round(F.col("value_diff1") * 100).cast("long"))
+        .alias("chk_diff1"),
+        chk("roll_std", 1000.0),
+        F.sum("roll_n").cast("long").alias("chk_roll_n"),
+        F.sum("session_event_n").cast("long").alias("chk_sess_n"),
+    )
 
 
 # =====================================================================
@@ -2212,24 +2284,74 @@ def q_fft_features(spark, sf_dir):
     return _round(out, ["band_entropy", "snr"])
 
 
-@register("wavelet_stats")  # pure-numpy DWT — numpy oracle in tests/
+_WAVELET_DIGEST_SQL = """
+SELECT CAST(50 AS BIGINT) AS n_users,
+       CAST(44842480 AS BIGINT) AS chk_band0,
+       CAST(1954087 AS BIGINT) AS chk_band1,
+       CAST(2214203 AS BIGINT) AS chk_band2,
+       CAST(3136226 AS BIGINT) AS chk_band3,
+       CAST(6238849 AS BIGINT) AS chk_band4,
+       CAST(2118112 AS BIGINT) AS chk_band5,
+       CAST(35904892 AS BIGINT) AS chk_band6,
+       CAST(18491313 AS BIGINT) AS chk_band7
+"""
+
+
+@register("wavelet_stats", _WAVELET_DIGEST_SQL)
 def q_wavelet_stats(spark, sf_dir):
-    """A22/U5 — per-entity db7 7-level DWT band statistics (48 features);
-    min_len lowered to 64 so the events table produces non-zero rows."""
-    ev = _events(spark, sf_dir)
+    """A22/U5 — per-entity db-N 7-level DWT band statistics (48 features;
+    LONG_features.py:243-262). DuckDB cannot replay the filter-bank
+    cascade, so certification is a pinned digest over the seeded
+    sf-independent corpus (the e3_pipeline pattern): per user, each
+    band's 6 stats are summed and quantized (kernel floats are
+    bit-deterministic — numpy over a sorted array — so per-row
+    quantization is core-count-stable), then integer-summed across users.
+    Per-coefficient numerics are pytest-checked against published db2/db3
+    filter constants and a literal-loop numpy oracle."""
+    from ecg_feature_engineering_spark.datagen import events as ev_gen
+    ev = ev_gen.events_df(spark)
     out = kernels.wavelet_stat_agg(ev, "value", "user_id", _ORDER,
                                    n_moments=7, level=7, min_len=64)
-    return _round(out, [c for c in out.columns if c != "user_id"])
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for band in range(8):
+        band_sum = sum((F.col(f"wv{band * 6 + j}") for j in range(1, 6)),
+                       F.col(f"wv{band * 6}"))
+        aggs.append(F.sum(F.round(band_sum * 1000).cast("long"))
+                    .alias(f"chk_band{band}"))
+    return out.agg(*aggs)
 
 
-@register("spectrogram")  # array-of-array output — shape checks in tests/
+_SPECTROGRAM_DIGEST_SQL = """
+SELECT CAST(50 AS BIGINT) AS n_users,
+       CAST(50 AS BIGINT) AS n_segments_total,
+       CAST(33 AS BIGINT) AS n_freqs,
+       CAST(9390568 AS BIGINT) AS chk_logpow
+"""
+
+
+@register("spectrogram", _SPECTROGRAM_DIGEST_SQL)
 def q_spectrogram(spark, sf_dir):
-    """U7 — per-entity log-spectrogram (nperseg=64) as
-    array<array<double>>."""
-    ev = _events(spark, sf_dir)
-    return kernels.spectrogram_agg(ev, "value", "user_id", _ORDER,
-                                   fs=1.0,
-                                   nperseg=64, noverlap=0)
+    """U7 — per-entity log-spectrogram (preprocess-300hz.py:254-269;
+    scipy-default contract: tukey(0.25), constant detrend, one-sided
+    density scaling). The raw array<array<double>> surface is
+    pytest-checked (taper/detrend/tone-peak tests); certification is a
+    pinned digest over the seeded corpus: shape facts (segment count,
+    one-sided bin count) plus the per-user quantized sum of all log-power
+    values (F.aggregate folds the array sequentially — deterministic —
+    and the cross-user sum is integer)."""
+    from ecg_feature_engineering_spark.datagen import events as ev_gen
+    ev = ev_gen.events_df(spark)
+    out = kernels.spectrogram_agg(ev, "value", "user_id", _ORDER,
+                                  fs=1.0, nperseg=64, noverlap=0)
+    per_user_sum = F.aggregate(
+        F.flatten("log_spec"), F.lit(0.0), lambda acc, x: acc + x)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_segments").cast("long").alias("n_segments_total"),
+        F.max(F.size(F.element_at("log_spec", 1))).cast("long")
+        .alias("n_freqs"),
+        F.sum(F.round(per_user_sum * 1000).cast("long"))
+        .alias("chk_logpow"))
 
 
 @register("anchor_fiducials_kernel", """

@@ -148,9 +148,12 @@ def test_certification_window_composition():
     window = names[:50]
     missing_oracle = [n for n in window if n not in o]
     assert not missing_oracle, missing_oracle
-    # rows-only-by-design set stays past the window
+    # the last three digest conversions (r3 late) stay past the window —
+    # the r3 window was already committed to the 27 never-certified
+    # queries; rounds 4-5 rotate these in
     for n in ("flagship", "wavelet_stats", "spectrogram"):
         assert n in names[50:]
+        assert n in o  # since r3: pinned-digest oracles, no rows-only left
 
 
 def test_entry_smoke(spark):
@@ -212,3 +215,23 @@ def test_sample_entropy_auto_composite_key_kernel_path(spark):
     rows = {(r["rec"], r["lead"]): r for r in out.collect()}
     assert set(rows) == {("r1", "I"), ("r1", "II")}
     assert np.isfinite(rows[("r1", "I")]["sampen1"])
+
+
+def test_flagship_digest_session_tz_invariant(spark):
+    """The flagship digest mixes naive-datetime inputs (image/snapshot
+    grid — session-TZ-local instants) with epoch-built event timestamps;
+    the contract query rebases the events through the SAME session-TZ
+    parse so every event<->snapshot alignment — and therefore the pinned
+    digest — survives any driver timezone. Chatham (+12:45) exercises a
+    fractional offset."""
+    contract.ensure_workers_can_import(spark)
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        rows = {}
+        for tz in ("UTC", "Pacific/Chatham"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            rows[tz] = contract.QUERY_BUILDERS["flagship"](
+                spark, "/root/testdata/sf0.001").collect()[0].asDict()
+        assert rows["UTC"] == rows["Pacific/Chatham"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
