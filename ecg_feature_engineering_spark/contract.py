@@ -2641,12 +2641,15 @@ def q_image_resize(spark, sf_dir):
 #           CAST in their oracles) — must re-certify green,
 #   #6-#32  the 27 oracle-backed queries that have never been inside the
 #           window (registered past slot 50 in r1/r2),
-#   #33-#37 the digest-oracled ANN trio + the two composites,
-#   #38-#50 one previously-★ sentinel per operator family (regression
+#   #33-#40 the eight digest-oracled queries (ANN trio, both composites,
+#           and the late-r3 flagship/wavelet/spectrogram conversions —
+#           rotated in so NOTHING oracle-backed is left uncertified
+#           after r3),
+#   #41-#50 one previously-★ sentinel per operator family (regression
 #           canaries: relational core, as-of, stats, windows, text,
 #           dedup, ANN-exact, multimodal),
 #   #51+    queries already driver-certified in r1/r2 (COVERAGE.md records
-#           which round certified each) and the rows-only-by-design set.
+#           which round certified each).
 QUERY_ORDER: list[str] = [
     # -- 1-5: HUGEINT-cast re-certification
     "variability", "sessionize", "session_aggs", "crossing_count",
@@ -2661,15 +2664,15 @@ QUERY_ORDER: list[str] = [
     "distinct_thresholds_desc", "tumbling_time_windows",
     "sliding_time_windows", "phash_near_dups", "image_psnr_roundtrip",
     "image_resize",
-    # -- 33-37: digest-oracled this round
+    # -- 33-40: digest-oracled this round
     "lsh_topk", "embedding_near_dup", "ivf_topk", "e3_pipeline",
-    "long_features_parity",
-    # -- 38-50: previously-green sentinels, one per family
-    "tpch_pricing_summary", "shipping_priority", "asof_backward",
-    "asof_forward", "asof_tolerance", "hrv_features", "basic_stats",
-    "sliding_segments", "langid", "dedup_exact", "minhash_lsh",
-    "cosine_topk", "image_decode_stats",
-    # -- 51+: certified in r1/r2 (or rows-only by design)
+    "long_features_parity", "flagship", "wavelet_stats", "spectrogram",
+    # -- 41-50: previously-green sentinels, one per family
+    "tpch_pricing_summary", "asof_backward", "hrv_features",
+    "basic_stats", "sliding_segments", "langid", "dedup_exact",
+    "minhash_lsh", "cosine_topk", "image_decode_stats",
+    # -- 51+: certified in r1/r2
+    "shipping_priority", "asof_forward", "asof_tolerance",
     "nation_revenue", "top_customers", "rank_orders_per_customer",
     "semi_join_active_customers", "anti_join_dormant_customers",
     "recode_lang", "lag_diffs", "long_stats", "coeff_of_variation",
@@ -2678,7 +2681,6 @@ QUERY_ORDER: list[str] = [
     "quality_features", "exact_dup_groups", "ngram_jaccard",
     "simhash_fingerprints", "simhash_near_dups", "hash_split",
     "beta_scores", "auc_scores", "deep_features", "image_phash_check",
-    "wavelet_stats", "spectrogram", "flagship",
 ]
 
 

@@ -148,12 +148,14 @@ def test_certification_window_composition():
     window = names[:50]
     missing_oracle = [n for n in window if n not in o]
     assert not missing_oracle, missing_oracle
-    # the last three digest conversions (r3 late) stay past the window —
-    # the r3 window was already committed to the 27 never-certified
-    # queries; rounds 4-5 rotate these in
+    # the last three digest conversions (r3 late) are rotated INTO the
+    # window — after r3 every oracle-backed query has been inside a
+    # certification window at least once
     for n in ("flagship", "wavelet_stats", "spectrogram"):
-        assert n in names[50:]
+        assert n in window
         assert n in o  # since r3: pinned-digest oracles, no rows-only left
+    # every query past slot 50 was driver-certified green in r1 or r2
+    assert all(n in o for n in names[50:])
 
 
 def test_entry_smoke(spark):
