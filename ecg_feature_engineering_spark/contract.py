@@ -6,8 +6,11 @@ documents embeddings). The Spark side and the oracle SQL round floating
 outputs identically (round 6; monetary sums round 2) so the driver's
 order-insensitive value-hash matches bit-for-bit.
 
-Kernel-backed operators (Arrow UDF rows — SURVEY.md §2.9) have no SQL oracle;
-they appear in QUERY_BUILDERS only and get numeric oracles in tests/.
+Kernel-backed operators (Arrow UDF rows — SURVEY.md §2.9) whose raw output
+DuckDB cannot replay certify via pinned seeded-corpus digests (quantize per
+row, then an order-independent integer sum — see ``_digest_chk``); since
+late r3 EVERY registered query has an ``ORACLES`` entry, and the raw
+full-shape surfaces keep their numeric oracles in tests/.
 """
 
 from __future__ import annotations
@@ -128,6 +131,15 @@ def _round(df: DataFrame, cols: list[str], n: int = 6) -> DataFrame:
 def _events(spark, sf_dir) -> DataFrame:
     return _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
+
+
+def _digest_chk(col: str, scale: float):
+    """Pinned-digest checksum term: quantize each row's value BEFORE the
+    order-independent integer sum, so the digest is stable under any
+    aggregation order / core count (see COVERAGE.md digest-stability
+    notes — only checksum quantities off the decimal grid)."""
+    return (F.sum(F.round(F.col(col) * scale).cast("long"))
+            .alias(f"chk_{col}"))
 
 
 _ORDER = ["ts", "event_id"]  # deterministic per-user event order
@@ -1504,22 +1516,18 @@ def q_long_features_parity(spark, sf_dir):
     dup_eq = dup_eq & (F.col("zigzag") == F.col("zigzag_dup1"))
     n_cols = len(out.columns)
 
-    def chk(col: str, scale: float):
-        return (F.sum(F.round(F.col(col) * scale).cast("long"))
-                .alias(f"chk_{col}"))
-
     return out.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.lit(n_cols).cast("long").alias("n_cols"),
         F.min(dup_eq.cast("int")).cast("long").alias("dup_parity"),
-        chk("lb_median", 1000.0),
+        _digest_chk("lb_median", 1000.0),
         F.sum("zero_cross_cnt").alias("chk_zero_cross"),
-        chk("band0", 1000.0),
+        _digest_chk("band0", 1000.0),
         # at fs=1.0 the reference's Hz-denominated bands 1-5 are empty, so
         # total_power == band0 (redundant) and band_entropy == 0; snr is
         # the informative spectral second checksum
-        chk("snr", 1000.0),
-        chk("acf1", 1000.0),
+        _digest_chk("snr", 1000.0),
+        _digest_chk("acf1", 1000.0),
         F.sum("zigzag").alias("chk_zigzag"),
         # the thres_cross family is excluded from the checksums on
         # purpose: its threshold is the entity MEAN (a float aggregate),
@@ -1534,8 +1542,8 @@ def q_long_features_parity(spark, sf_dir):
         # variance on a decimal grid that hits exact .5*scale rounding
         # boundaries (measured drift); skew's irrational sqrt denominator
         # keeps it off-grid, so its rounding is drift-proof.
-        chk("lb_skew", 1000.0),
-        chk("wv0", 1000.0),
+        _digest_chk("lb_skew", 1000.0),
+        _digest_chk("wv0", 1000.0),
     )
 
 
@@ -1784,25 +1792,21 @@ def q_flagship(spark, sf_dir):
             base + F.col("user_id").cast("long") * F.lit(1_800) + rel))
     out = flagship_plan.feature_plan(images, snapshots, ev, n_entities)
 
-    def chk(col: str, scale: float):
-        return (F.sum(F.round(F.col(col) * scale).cast("long"))
-                .alias(f"chk_{col}"))
-
     return out.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("image_id").alias("n_img_matched"),
         F.count("event_ts").alias("n_ev_matched"),
         F.countDistinct("entity_id").alias("n_entities"),
-        chk("luma_mean", 1000.0), chk("luma_std", 1000.0),
+        _digest_chk("luma_mean", 1000.0), _digest_chk("luma_std", 1000.0),
         F.sum("phash_bits").cast("long").alias("chk_phash_bits"),
         F.sum("phash_hamming").cast("long").alias("chk_hamming"),
         F.sum("n_words").cast("long").alias("chk_words"),
         F.sum(F.round(F.col("punct_ratio") * 1000).cast("long"))
         .alias("chk_punct"),
-        chk("value", 100.0), F.sum(
+        _digest_chk("value", 100.0), F.sum(
             F.round(F.col("value_diff1") * 100).cast("long"))
         .alias("chk_diff1"),
-        chk("roll_std", 1000.0),
+        _digest_chk("roll_std", 1000.0),
         F.sum("roll_n").cast("long").alias("chk_roll_n"),
         F.sum("session_event_n").cast("long").alias("chk_sess_n"),
     )
