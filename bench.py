@@ -241,15 +241,32 @@ def _scaling_run_once(sf_dir: str, cores: int,
     warm_python_workers(spark)
     images = spark.read.parquet(SCALING_STAGE)
     n_entities = N_SCALING // 20
-    t0 = time.time()
-    if kernel_only:
-        materialize(kernels.image_payload_features(images,
-                                                   keep=["image_id"]))
-    else:
+
+    def build(img_df, snap_limit=None, ev_limit=None):
+        if kernel_only:
+            return kernels.image_payload_features(img_df,
+                                                  keep=["image_id"])
         snapshots = spark.read.parquet(SCALING_STAGE + "_snapshots")
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
-        materialize(fplan.feature_plan(images, snapshots, events,
-                                       n_entities))
+        if snap_limit is not None:
+            snapshots = snapshots.limit(snap_limit)
+            events = events.limit(ev_limit)
+        return fplan.feature_plan(img_df, snapshots, events, n_entities)
+
+    # warm-up: run the SAME plan shape over a tiny slice first. A fresh
+    # session otherwise charges per-JOB constants to the timed sample —
+    # Catalyst rule JIT + codegen compilation of this tree costs
+    # ~1.6-2.9 s (measured) regardless of data size or core count, a
+    # fixed bias against the wide arm of a scaling ratio (~15% of the
+    # 16-core sample at 500k images; ~0% of the same job at production
+    # scale). The warm-up executes end-to-end (planning, codegen, Python
+    # workers, noop sink) so the timed run measures steady-state
+    # execution; its own planning of the full-size tree remains in the
+    # timed region (JIT-warm, ~0.3-0.8 s).
+    materialize(build(images.limit(256), snap_limit=256, ev_limit=256))
+    df = build(images)
+    t0 = time.time()
+    materialize(df)
     dt = time.time() - t0
     stop_spark()
     return dt
