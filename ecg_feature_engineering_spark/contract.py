@@ -1063,6 +1063,52 @@ def q_minhash_lsh(spark, sf_dir):
     return _round(out, ["jaccard_est"])
 
 
+def _dup_clusters_oracle_sql() -> str:
+    """Recursive-CTE twin of minhash pairs -> connected components: the
+    transitive closure's MIN reachable id per vertex equals the engine's
+    hash-min fixpoint label. Pair generation reuses the generated MinHash
+    twin verbatim (nested WITH inside a derived table is valid DuckDB)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_oracle_sql().strip()}) __mh),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs),
+reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) __verts
+  UNION
+  SELECT e.v, r.label FROM edges e JOIN reach r ON e.u = r.u),
+comp AS (
+  SELECT u AS doc_id, MIN(label) AS component FROM reach GROUP BY u)
+SELECT c.doc_id, c.component,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS cluster_size
+      FROM comp GROUP BY component) s USING (component)
+"""
+
+
+@register("dup_clusters", _dup_clusters_oracle_sql())
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash+LSH pairs (md5 oracle mode, threshold
+    0.5) -> distributed connected components (hash-min label propagation,
+    dedup.connected_components) -> per-doc (component, cluster_size). The
+    step a dedup pipeline needs between pairwise candidates and "keep one
+    canonical doc per cluster" (dedup.drop_near_dups); the reference has
+    only a static blacklist (preprocess-300hz.py:93-98). Oracle: DuckDB
+    recursive-CTE transitive closure over the same generated pair twin —
+    min reachable id == the engine's propagation fixpoint."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", n=3, k=64,
+                                    bands=16, threshold=0.5, hash="md5")
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        "doc_id", "component", "cluster_size")
+
+
 # DuckDB twin of dedup.simhash64_relational: same md5 token hash, same
 # 64 conditional-sum bit votes (generated terms), bit 63 assembled as
 # min-long addition because DuckDB's 1<<63 overflows where Spark's
@@ -2685,6 +2731,8 @@ QUERY_ORDER: list[str] = [
     "quality_features", "exact_dup_groups", "ngram_jaccard",
     "simhash_fingerprints", "simhash_near_dups", "hash_split",
     "beta_scores", "auc_scores", "deep_features", "image_phash_check",
+    # -- added late r3 (past the frozen r3 window; r4 rotates it in)
+    "dup_clusters",
 ]
 
 

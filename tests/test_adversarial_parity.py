@@ -145,7 +145,7 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         "token_counts", "quality_features", "word_explode", "langid",
         "dedup_exact", "exact_dup_groups", "ngram_jaccard",
         "simhash_fingerprints", "simhash_near_dups", "minhash_lsh",
-        "hash_split",
+        "hash_split", "dup_clusters",
     ], hostile_docs_dir)
 
 

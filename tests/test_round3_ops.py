@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from ecg_feature_engineering_spark import contract
 from ecg_feature_engineering_spark.datagen import events as ev_gen
@@ -237,3 +238,66 @@ def test_flagship_digest_session_tz_invariant(spark):
         assert rows["UTC"] == rows["Pacific/Chatham"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Hash-min propagation: a 4-edge path (needs >1 round), a triangle
+    with a redundant edge, and an isolated pair — labels must equal the
+    min id of each component, and only pair-graph vertices are emitted."""
+    from ecg_feature_engineering_spark.operators import dedup
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1),       # path, reversed ids
+         (20, 21), (20, 22), (21, 22),          # triangle + redundancy
+         (10, 11)],                              # isolated pair
+        "id_a long, id_b long")
+    got = sorted((r["doc_id"], r["component"])
+                 for r in dedup.connected_components(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]
+    assert dedup.connected_components(pairs.limit(0)).count() == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check vs a literal python union-find."""
+    import numpy as np
+    from ecg_feature_engineering_spark.operators import dedup
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2))
+             if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for v in parent:
+        want[v] = find(v)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from ecg_feature_engineering_spark.operators import dedup
+    pairs = spark.createDataFrame([(5, 4), (4, 3), (3, 2), (2, 1)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_drop_near_dups_keeps_canonical_and_singletons(spark):
+    from ecg_feature_engineering_spark.operators import dedup
+    docs = spark.range(6).toDF("doc_id")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.drop_near_dups(docs, pairs).collect())
+    assert kept == [0, 1, 4, 5]  # 1 = cluster canonical; 0/4/5 singletons
