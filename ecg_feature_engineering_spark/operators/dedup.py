@@ -375,10 +375,15 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     long path graphs ``max_iter`` bounds the work and a RuntimeError
     reports non-convergence rather than returning a wrong answer.
 
-    This is an iterative job, NOT a single lazy plan: each round
-    materializes the new label table (eager persist) and unpersists the
-    previous one, so the plan/lineage stays O(1) deep regardless of round
-    count and executors never recompute earlier rounds. The per-round
+    This is an iterative job, NOT a single lazy plan: each round eagerly
+    localCheckpoints the new label table, which BOTH materializes it and
+    truncates its lineage — without truncation the returned plan would
+    chain every round's join (O(rounds) deep, re-optimized on every
+    downstream action), and a plain persist would leak a cache entry the
+    caller never releases. localCheckpoint blocks live in executor
+    storage: on executor loss the job must rerun (fine in local mode; on
+    a long-lived cluster set a reliable ``spark.sparkContext
+    .setCheckpointDir`` and swap in ``checkpoint()``). The per-round
     driver scalar is one count (convergence check), not a data collect.
     """
     edges = pairs.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
@@ -388,30 +393,30 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         .distinct())
     edges = edges.persist()
     labels = (edges.select("__u").distinct()
-              .withColumn("__label", F.col("__u"))).persist()
-    labels.count()  # materialize before the loop
+              .withColumn("__label", F.col("__u"))
+              .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, "__u")
                    .groupBy(F.col("__v").alias("__u"))
                    .agg(F.min("__label").alias("__nbr")))
         new_labels = (labels.join(nbr_min, "__u")
                       .select("__u", F.least("__label", "__nbr")
-                              .alias("__label"))).persist()
+                              .alias("__label"))
+                      .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "__u")
                    .where(F.col("n.__label") != F.col("o.__label"))
-                   .count())  # also materializes new_labels
-        labels.unpersist()
+                   .count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    else:
-        labels.unpersist()
-        edges.unpersist()
+    edges.unpersist()
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter — raise it)")
-    edges.unpersist()
     return labels.select(F.col("__u").alias(id_out),
                          F.col("__label").alias(label_out))
 
