@@ -128,6 +128,18 @@ def _round(df: DataFrame, cols: list[str], n: int = 6) -> DataFrame:
     )
 
 
+def _canon_zero(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Canonicalize IEEE -0.0 -> +0.0 after rounding. A near-zero noise
+    value (e.g. centered skewness of a symmetric pair) rounds to a zero
+    whose SIGN is engine-dependent; the driver's value hash is bitwise, so
+    -0.0 vs 0.0 would mismatch. The oracle twin is ``round(...) + 0.0``
+    (IEEE: -0.0 + 0.0 == +0.0; identity for every other value)."""
+    return df.select(*[
+        F.when(F.col(c) == 0, F.lit(0.0)).otherwise(F.col(c)).alias(c)
+        if c in cols else F.col(c)
+        for c in df.columns])
+
+
 def _events(spark, sf_dir) -> DataFrame:
     return _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
@@ -370,28 +382,28 @@ def q_hrv(spark, sf_dir):
 
 
 @register("basic_stats", """
-WITH s AS (
-  SELECT user_id,
-    avg(value) m1, avg(value * value) m2r,
-    avg(value * value * value) m3r,
-    avg(value * value * value * value) m4r,
-    count(value) cnt, max(value) mx, min(value) mn,
-    quantile_cont(value, 0.05) q5, quantile_cont(value, 0.25) q25,
-    quantile_cont(value, 0.50) q50, quantile_cont(value, 0.75) q75,
-    quantile_cont(value, 0.95) q95
-  FROM events GROUP BY user_id)
+WITH mu AS (SELECT user_id, avg(value) AS gm FROM events GROUP BY user_id),
+s AS (
+  SELECT e.user_id,
+    avg(e.value) m1, avg(e.value * e.value) m2r,
+    avg(pow(e.value - mu.gm, 2)) c2,
+    avg(pow(e.value - mu.gm, 3)) c3,
+    avg(pow(e.value - mu.gm, 4)) c4,
+    count(e.value) cnt, max(e.value) mx, min(e.value) mn,
+    quantile_cont(e.value, 0.05) q5, quantile_cont(e.value, 0.25) q25,
+    quantile_cont(e.value, 0.50) q50, quantile_cont(e.value, 0.75) q75,
+    quantile_cont(e.value, 0.95) q95
+  FROM events e JOIN mu USING (user_id) GROUP BY e.user_id)
 SELECT user_id,
   round(m1, 6) AS stat_mean,
   round(CASE WHEN m1 <> 0 THEN 1.0 / m1 ELSE 0.0 END, 6) AS stat_hr,
   cnt AS stat_cnt,
   round(mx - mn, 6) AS stat_range,
-  round(m2r - m1 * m1, 6) AS stat_var,
-  round(CASE WHEN m2r - m1 * m1 > 0 THEN
-    (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / pow(m2r - m1 * m1, 1.5) END, 6)
+  round(c2, 6) AS stat_var,
+  round(CASE WHEN c2 > 1e-12 * m2r THEN c3 / pow(c2, 1.5) END, 6) + 0.0
     AS stat_skew,
-  round(CASE WHEN m2r - m1 * m1 > 0 THEN
-    (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * pow(m1, 4))
-      / pow(m2r - m1 * m1, 2) - 3 END, 6) AS stat_kurt,
+  round(CASE WHEN c2 > 1e-12 * m2r THEN c4 / (c2 * c2) - 3 END, 6) + 0.0
+    AS stat_kurt,
   round(q50, 6) AS stat_median,
   round(mn, 6) AS stat_min,
   round(q5, 6) AS stat_p5,
@@ -404,35 +416,37 @@ FROM s
 """)
 def q_basic_stats(spark, sf_dir):
     """A2 — QRSBasicStat 15 (QRS_features.py:370-401): population var/skew/
-    Fisher-kurtosis from power sums, exact interpolated percentiles."""
-    ev = _events(spark, sf_dir)
+    Fisher-kurtosis via two-pass centered moments (broadcast group mean),
+    exact interpolated percentiles."""
+    ev = stats.with_group_mean(_events(spark, sf_dir), "value", "user_id")
     out = ev.groupBy("user_id").agg(*stats.basic_stat_aggs("value", "stat_"))
-    return _round(out, [c for c in out.columns
-                        if c not in ("user_id", "stat_cnt")])
+    out = _round(out, [c for c in out.columns
+                       if c not in ("user_id", "stat_cnt")])
+    return _canon_zero(out, ["stat_skew", "stat_kurt"])
 
 
 @register("long_stats", """
-WITH s AS (
-  SELECT user_id,
-    avg(value) m1, avg(value * value) m2r,
-    avg(value * value * value) m3r,
-    avg(value * value * value * value) m4r,
-    max(value) mx, min(value) mn,
-    quantile_cont(value, 0.01) q1, quantile_cont(value, 0.05) q5,
-    quantile_cont(value, 0.10) q10, quantile_cont(value, 0.25) q25,
-    quantile_cont(value, 0.50) q50, quantile_cont(value, 0.75) q75,
-    quantile_cont(value, 0.90) q90, quantile_cont(value, 0.95) q95,
-    quantile_cont(value, 0.99) q99
-  FROM events GROUP BY user_id)
+WITH mu AS (SELECT user_id, avg(value) AS gm FROM events GROUP BY user_id),
+s AS (
+  SELECT e.user_id,
+    avg(e.value * e.value) m2r,
+    avg(pow(e.value - mu.gm, 2)) c2,
+    avg(pow(e.value - mu.gm, 3)) c3,
+    avg(pow(e.value - mu.gm, 4)) c4,
+    max(e.value) mx, min(e.value) mn,
+    quantile_cont(e.value, 0.01) q1, quantile_cont(e.value, 0.05) q5,
+    quantile_cont(e.value, 0.10) q10, quantile_cont(e.value, 0.25) q25,
+    quantile_cont(e.value, 0.50) q50, quantile_cont(e.value, 0.75) q75,
+    quantile_cont(e.value, 0.90) q90, quantile_cont(e.value, 0.95) q95,
+    quantile_cont(e.value, 0.99) q99
+  FROM events e JOIN mu USING (user_id) GROUP BY e.user_id)
 SELECT user_id,
   round(mx - mn, 6) AS ls_range,
-  round(m2r - m1 * m1, 6) AS ls_var,
-  round(CASE WHEN m2r - m1 * m1 > 0 THEN
-    (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / pow(m2r - m1 * m1, 1.5) END, 6)
+  round(c2, 6) AS ls_var,
+  round(CASE WHEN c2 > 1e-12 * m2r THEN c3 / pow(c2, 1.5) END, 6) + 0.0
     AS ls_skew,
-  round(CASE WHEN m2r - m1 * m1 > 0 THEN
-    (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * pow(m1, 4))
-      / pow(m2r - m1 * m1, 2) - 3 END, 6) AS ls_kurt,
+  round(CASE WHEN c2 > 1e-12 * m2r THEN c4 / (c2 * c2) - 3 END, 6) + 0.0
+    AS ls_kurt,
   round(q50, 6) AS ls_median,
   round(q1, 6) AS ls_p1, round(q5, 6) AS ls_p5, round(q10, 6) AS ls_p10,
   round(q25, 6) AS ls_p25, round(q75, 6) AS ls_p75, round(q90, 6) AS ls_p90,
@@ -442,10 +456,12 @@ SELECT user_id,
 FROM s
 """)
 def q_long_stats(spark, sf_dir):
-    """A13 — LongBasicStat percentile ladder (LONG_features.py:35-104)."""
-    ev = _events(spark, sf_dir)
+    """A13 — LongBasicStat percentile ladder (LONG_features.py:35-104);
+    var/skew/kurt via two-pass centered moments (broadcast group mean)."""
+    ev = stats.with_group_mean(_events(spark, sf_dir), "value", "user_id")
     out = ev.groupBy("user_id").agg(*stats.long_stat_aggs("value", "ls_"))
-    return _round(out, [c for c in out.columns if c != "user_id"])
+    out = _round(out, [c for c in out.columns if c != "user_id"])
+    return _canon_zero(out, ["ls_skew", "ls_kurt"])
 
 
 @register("coeff_of_variation", """

@@ -46,24 +46,65 @@ def _clamp0(c: Column) -> Column:
     return F.when(c < 0, F.lit(0.0)).otherwise(c)
 
 
-def skew_pop(col) -> Column:
-    """Biased Fisher-Pearson skewness = m3 / m2^1.5 (scipy.stats.skew
-    bias=True, used in QRS_features.py:385). 0-variance groups -> null
-    (scipy emits nan; null is the relational spelling)."""
-    m1, m2r, m3r = mean_pow(col, 1), mean_pow(col, 2), mean_pow(col, 3)
-    m2 = m2r - m1 * m1
-    m3 = m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1
-    return F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5)))
+# Relative variance floor below which skew/kurt are declared numerically
+# undefined (NULL): when c2 < 1e-12 * E[v²], the centered-moment ratios
+# cannot be 6-decimal-stable in float64 (per-term relative error scales as
+# eps/sqrt(c2/m2r)), so two independent engines would emit unequal garbage
+# — the exactly-constant-series case (scipy emits nan there) extended to
+# the float-resolution-constant class. Genuine data sits many orders of
+# magnitude above this floor (std/mean >= 1e-6 at equal scales).
+MOMENT_REL_FLOOR = 1e-12
+
+GROUP_MEAN_COL = "__grp_mu"
 
 
-def kurt_pop(col) -> Column:
-    """Biased Fisher (excess) kurtosis = m4/m2² − 3 (scipy.stats.kurtosis
-    defaults, QRS_features.py:386)."""
-    m1 = mean_pow(col, 1)
-    m2r, m3r, m4r = mean_pow(col, 2), mean_pow(col, 3), mean_pow(col, 4)
-    m2 = m2r - m1 * m1
-    m4 = m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * F.pow(m1, F.lit(4))
-    return F.when(m2 > 0, m4 / (m2 * m2) - 3)
+def with_group_mean(df, value: str, by, mu_col: str = GROUP_MEAN_COL):
+    """Pass 1 of the two-pass centered-moment scheme: broadcast the
+    per-group mean back onto the rows. One tiny agg (one row per group,
+    map-side combined) + a broadcast join — the fact side is NOT
+    re-shuffled, so the scheme adds no data-sized shuffle at any scale.
+
+    Two-pass centering is the numerically required formulation: the raw
+    power-sum m4 - 4·m1·m3 + ... form loses up to ~1e-3 relative accuracy
+    on near-constant groups (catastrophic cancellation), which made
+    engine-vs-oracle kurtosis values disagree beyond both np.isclose and
+    the driver's round-6 value hash (found by
+    tests/test_adversarial_parity.py::test_constant_series_parity)."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    mu = df.groupBy(*by_cols).agg(F.avg(value).alias(mu_col))
+    return df.join(F.broadcast(mu), by_cols)
+
+
+def _centered(col, mu, k: int) -> Column:
+    v = F.col(col) if isinstance(col, str) else col
+    m = F.col(mu) if isinstance(mu, str) else mu
+    return F.avg(F.pow(v - m, F.lit(k)))
+
+
+def _moment_guard(col, mu) -> Column:
+    return _centered(col, mu, 2) > F.lit(MOMENT_REL_FLOOR) * mean_pow(col, 2)
+
+
+def var_pop_centered(col, mu: str = GROUP_MEAN_COL) -> Column:
+    """Population variance about the pass-1 group mean — exact 0 for
+    single-row groups, never negative (sum of squares), no cancellation."""
+    return _centered(col, mu, 2)
+
+
+def skew_pop(col, mu: str = GROUP_MEAN_COL) -> Column:
+    """Biased Fisher-Pearson skewness = c3 / c2^1.5 (scipy.stats.skew
+    bias=True, used in QRS_features.py:385), centered moments about the
+    pass-1 group mean (``with_group_mean``). Numerically-constant groups
+    -> null (scipy emits nan; null is the relational spelling)."""
+    c2, c3 = _centered(col, mu, 2), _centered(col, mu, 3)
+    return F.when(_moment_guard(col, mu), c3 / F.pow(c2, F.lit(1.5)))
+
+
+def kurt_pop(col, mu: str = GROUP_MEAN_COL) -> Column:
+    """Biased Fisher (excess) kurtosis = c4/c2² − 3 (scipy.stats.kurtosis
+    defaults, QRS_features.py:386), centered about the pass-1 group mean."""
+    c2, c4 = _centered(col, mu, 2), _centered(col, mu, 4)
+    return F.when(_moment_guard(col, mu), c4 / (c2 * c2) - 3)
 
 
 def pctl(col, p: float) -> Column:
@@ -112,7 +153,9 @@ def rdensity(sig_len: Column, fs: Column, n_peaks: Column) -> Column:
 def basic_stat_aggs(value: str = "value", prefix: str = "") -> list[Column]:
     """A2 — QRSBasicStat's 15 (QRS_features.py:370-401): mean, HR=1/mean
     (zero-guarded), count, range, population var/skew/kurt, median, min,
-    p5/p25/p75/p95 and the two inter-percentile ranges."""
+    p5/p25/p75/p95 and the two inter-percentile ranges.
+
+    Requires the ``with_group_mean`` pass-1 column (centered moments)."""
     v = F.col(value)
     p = prefix
     return [
@@ -120,9 +163,9 @@ def basic_stat_aggs(value: str = "value", prefix: str = "") -> list[Column]:
         safe_div(F.lit(1.0), F.avg(v)).alias(p + "hr"),        # :378-381
         F.count(v).alias(p + "cnt"),
         (F.max(v) - F.min(v)).alias(p + "range"),
-        var_pop(v).alias(p + "var"),
-        skew_pop(v).alias(p + "skew"),
-        kurt_pop(v).alias(p + "kurt"),
+        var_pop_centered(value).alias(p + "var"),
+        skew_pop(value).alias(p + "skew"),
+        kurt_pop(value).alias(p + "kurt"),
         pctl(v, 50).alias(p + "median"),
         F.min(v).alias(p + "min"),
         pctl(v, 5).alias(p + "p5"),
@@ -136,14 +179,15 @@ def basic_stat_aggs(value: str = "value", prefix: str = "") -> list[Column]:
 
 def long_stat_aggs(value: str = "value", prefix: str = "") -> list[Column]:
     """A13 — LongBasicStat percentile list [1,5,10,25,75,90,95,99] + 4 IPRs
-    (LONG_features.py:35-104)."""
+    (LONG_features.py:35-104). Requires the ``with_group_mean`` pass-1
+    column (centered moments)."""
     v = F.col(value)
     p = prefix
     cols = [
         (F.max(v) - F.min(v)).alias(p + "range"),
-        var_pop(v).alias(p + "var"),
-        skew_pop(v).alias(p + "skew"),
-        kurt_pop(v).alias(p + "kurt"),
+        var_pop_centered(value).alias(p + "var"),
+        skew_pop(value).alias(p + "skew"),
+        kurt_pop(value).alias(p + "kurt"),
         pctl(v, 50).alias(p + "median"),
     ]
     for q in (1, 5, 10, 25, 75, 90, 95, 99):

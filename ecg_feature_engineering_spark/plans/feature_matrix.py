@@ -47,7 +47,8 @@ def feature_matrix(events: DataFrame, by: str = "user_id",
     order = list(order)
     d = windows.with_lag_diff(events, value, by, order, 1, "d1")
     hrv = d.groupBy(by).agg(*stats.hrv_aggs(value, "d1"))
-    basic = events.groupBy(by).agg(*stats.basic_stat_aggs(value, "qrs_"))
+    basic = stats.with_group_mean(events, value, by) \
+        .groupBy(by).agg(*stats.basic_stat_aggs(value, "qrs_"))
     lng = long_block.long_features(events, by=by, value=value, order=order,
                                    fs=1.0, parity=False)
     return hrv.join(basic, by).join(lng, by)

@@ -39,7 +39,7 @@ def long_features(events: DataFrame, by: str = "user_id",
     count per partition)."""
     order = list(order) if not isinstance(order, str) else [order]
 
-    basic = events.groupBy(by).agg(
+    basic = stats.with_group_mean(events, value, by).groupBy(by).agg(
         *stats.long_stat_aggs(value, prefix="lb_"))
     zcross = stats.crossing_count(events, value, 0.0, by=by, order=order,
                                   out="zero_cross_cnt")

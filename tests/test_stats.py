@@ -25,7 +25,8 @@ def _np_kurt(x):  # scipy.stats.kurtosis(bias=True, fisher=True)
 
 def test_population_moments(spark, sf_dir, events_pdf):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    got = (ev.groupBy("user_id")
+    got = (stats.with_group_mean(ev, "value", "user_id")
+           .groupBy("user_id")
            .agg(*stats.basic_stat_aggs("value", "s_"))
            .toPandas().set_index("user_id").sort_index())
     for uid, grp in events_pdf.groupby("user_id"):
