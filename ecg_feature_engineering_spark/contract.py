@@ -22,8 +22,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ecg_feature_engineering_spark.datagen import audio as datagen_audio
 from ecg_feature_engineering_spark.datagen import images as datagen
-from ecg_feature_engineering_spark.functions import kernels
+from ecg_feature_engineering_spark.datagen import video as datagen_video
+from ecg_feature_engineering_spark.functions import kernels, media_kernels
 from ecg_feature_engineering_spark.operators import (
     asof,
     dedup,
@@ -2697,6 +2699,177 @@ def q_image_resize(spark, sf_dir):
 
 
 # =====================================================================
+# Audio / video multimodal kernels (brief: image/audio/video as opaque
+# binary + typed metadata; Arrow kernels, never per-row Python). Seeded
+# sf-independent corpora (datagen/audio.py, datagen/video.py), pinned
+# golden-constant digests — the image_decode_stats pattern. WAV decode is
+# a REAL RIFF/PCM codec (pure numpy); the video container is the
+# deterministic FVID format (real bitstream codecs need libavcodec,
+# absent here — datagen/video.py docstring).
+# =====================================================================
+_N_AUDIO = 300
+_N_VIDEO = 120
+
+
+def _audio(spark):
+    return datagen_audio.audio_df(spark, _N_AUDIO, seed=42)
+
+
+def _videos(spark):
+    return datagen_video.video_df(spark, _N_VIDEO, seed=42)
+
+
+@register("audio_decode_stats", """
+SELECT * FROM (VALUES
+  ('pcm16', 200, CAST(230960 AS BIGINT), 0.401043::DOUBLE,
+   0.405806::DOUBLE, 714.285714::DOUBLE, 7981.981982::DOUBLE),
+  ('pcm8', 100, CAST(119288 AS BIGINT), 0.401918::DOUBLE,
+   0.405713::DOUBLE, 719.626168::DOUBLE, 7925.170068::DOUBLE)
+) AS t(fmt, n, sum_n, min_rms, max_rms, min_zcr, max_zcr)
+""")
+def q_audio_decode_stats(spark, sf_dir):
+    """Audio U1 analog — decode the WAV payload, per-clip waveform stats
+    (duration/RMS/peak/ZCR), digested per format. mapInPandas on the scan
+    partitions, zero shuffle until the digest agg; min/max of per-row
+    rounded values are order-independent, sum of int samples is exact."""
+    out = media_kernels.audio_decode_stats(_audio(spark),
+                                           keep=["audio_id", "fmt"])
+    out = _round(out, ["duration_s", "rms", "peak", "zcr_hz", "clip_frac"])
+    return out.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("decoded_n").alias("sum_n"),
+        F.min("rms").alias("min_rms"), F.max("rms").alias("max_rms"),
+        F.min("zcr_hz").alias("min_zcr"), F.max("zcr_hz").alias("max_zcr"))
+
+
+@register("audio_spectral", """
+SELECT * FROM (VALUES
+  ('pcm16', 200, CAST(200 AS BIGINT), 294.542041::DOUBLE,
+   4147.378655::DOUBLE),
+  ('pcm8', 100, CAST(100 AS BIGINT), 280.408276::DOUBLE,
+   4096.122002::DOUBLE)
+) AS t(fmt, n, n_dominant_ok, min_centroid, max_centroid)
+""")
+def q_audio_spectral(spark, sf_dir):
+    """Audio U6 analog — per-clip periodogram features (spectral centroid,
+    dominant frequency, Nyquist-fraction band powers; HRV_features.py
+    frequency-domain block). The digest's INVARIANT arm: the datagen
+    plants a known dominant tone f0 per clip, and the periodogram argmax
+    must land within one FFT bin of it for EVERY clip
+    (n_dominant_ok == n) — a broken FFT/windowing path fails loudly."""
+    aud = _audio(spark)
+    sp = media_kernels.audio_spectral(
+        aud, keep=["audio_id", "fmt", "sr", "n_samples", "f0_hz"])
+    sp = _round(sp, ["spectral_centroid_hz"])
+    ok = (F.abs(F.col("dominant_hz") - F.col("f0_hz"))
+          <= F.col("sr") / F.col("n_samples"))
+    return sp.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ok.cast("long")).alias("n_dominant_ok"),
+        F.min("spectral_centroid_hz").alias("min_centroid"),
+        F.max("spectral_centroid_hz").alias("max_centroid"))
+
+
+@register("audio_resample", """
+SELECT * FROM (VALUES
+  (8000, 150, CAST(122872 AS BIGINT), 8000, 0.401043::DOUBLE,
+   0.405806::DOUBLE),
+  (16000, 150, CAST(113688 AS BIGINT), 8000, 0.399101::DOUBLE,
+   0.413004::DOUBLE)
+) AS t(src_sr, n, sum_n, out_sr, min_rms, max_rms)
+""")
+def q_audio_resample(spark, sf_dir):
+    """Audio U3 analog — common-clock resample (resample.py:24-28): every
+    clip linearly interpolated onto an 8 kHz grid, re-encoded, then
+    decoded AGAIN for stats (the chained two-kernel plumbing is the
+    point). Grouped by source rate: the 16 kHz half proves a real 2:1
+    decimation (sum_n halves), the 8 kHz half proves identity-rate
+    stability (rms digits unchanged vs audio_decode_stats)."""
+    aud = _audio(spark).withColumnRenamed("sr", "src_sr")
+    rs = media_kernels.resample_audio(aud, 8000,
+                                      keep=["audio_id", "src_sr"])
+    st = media_kernels.audio_decode_stats(rs, keep=["audio_id", "src_sr"])
+    st = _round(st, ["rms"])
+    return st.groupBy("src_sr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("decoded_n").alias("sum_n"),
+        F.min("decoded_sr").alias("out_sr"),
+        F.min("rms").alias("min_rms"), F.max("rms").alias("max_rms"))
+
+
+@register("audio_transcode_snr", """
+SELECT * FROM (VALUES
+  ('pcm16', 200, 44.565196::DOUBLE, CAST(200 AS BIGINT)),
+  ('pcm8', 100, 999.0::DOUBLE, CAST(100 AS BIGINT))
+) AS t(fmt, n, min_snr, n_ge_40)
+""")
+def q_audio_transcode_snr(spark, sf_dir):
+    """Audio payload invariant — the twin of image_psnr_roundtrip
+    (BASELINE.json PSNR>=40dB rule, transposed to audio): decode ->
+    16->8-bit transcode -> decode, SNR >= 40 dB for every pcm16 clip
+    (min 44.57 dB pinned); already-8-bit clips are exactly stable
+    (quantization idempotence, capped 999)."""
+    snr = media_kernels.audio_transcode_snr(_audio(spark), "pcm8")
+    snr = _round(snr, ["snr_db"])
+    return snr.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("snr_db").alias("min_snr"),
+        F.sum((F.col("snr_db") >= 40.0).cast("long")).alias("n_ge_40"))
+
+
+@register("video_stats", """
+SELECT * FROM (VALUES
+  (12, 60, CAST(578 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT),
+   130.804969::DOUBLE, 144.610733::DOUBLE),
+  (24, 60, CAST(585 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT),
+   133.773051::DOUBLE, 144.633711::DOUBLE)
+) AS t(fps, n, sum_frames, n_static_measured, n_static_expected,
+       min_luma, max_luma)
+""")
+def q_video_stats(spark, sf_dir):
+    """Video decode + summary — per-clip luma stats and inter-frame
+    motion. INVARIANT arm: clips the datagen planted as static must (and
+    only they may) measure motion exactly 0
+    (n_static_measured == n_static_expected per fps group)."""
+    vs = media_kernels.video_stats(
+        _videos(spark), keep=["video_id", "fps", "is_static"])
+    vs = _round(vs, ["luma_mean", "luma_std", "motion_mean", "motion_max"])
+    return vs.groupBy("fps").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("decoded_frames").alias("sum_frames"),
+        F.sum((F.col("motion_mean") == 0.0).cast("long"))
+         .alias("n_static_measured"),
+        F.sum(F.col("is_static").cast("long")).alias("n_static_expected"),
+        F.min("luma_mean").alias("min_luma"),
+        F.max("luma_mean").alias("max_luma"))
+
+
+@register("video_frame_sample", """
+SELECT * FROM (VALUES
+  (12, CAST(60 AS BIGINT), 170, 12, 130.716521::DOUBLE,
+   144.675121::DOUBLE),
+  (24, CAST(60 AS BIGINT), 167, 12, 133.727872::DOUBLE,
+   144.681729::DOUBLE)
+) AS t(fps, n_videos, n_frames, max_idx, min_luma, max_luma)
+""")
+def q_video_frame_sample(spark, sf_dir):
+    """Frame sampling — the row-EXPANDING multimodal kernel (one video ->
+    one row per stride-4 frame, frame 0 always included; the reference's
+    fixed-stride segmenter shape, preprocess-300hz.py). Digest: per-fps
+    sampled-frame count, distinct-video count (every video must survive
+    the expansion) and stride bound (max_idx % 4 == 0)."""
+    fs = media_kernels.sample_frames(_videos(spark), every_k=4,
+                                     keep=["video_id", "fps"])
+    fs = _round(fs, ["frame_luma_mean"])
+    return fs.groupBy("fps").agg(
+        F.countDistinct("video_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_idx").alias("max_idx"),
+        F.min("frame_luma_mean").alias("min_luma"),
+        F.max("frame_luma_mean").alias("max_luma"))
+
+
+# =====================================================================
 # Driver certification-window ordering
 # =====================================================================
 # The round driver certifies (rows+schema+value-hash vs the DuckDB oracle)
@@ -2747,8 +2920,10 @@ QUERY_ORDER: list[str] = [
     "quality_features", "exact_dup_groups", "ngram_jaccard",
     "simhash_fingerprints", "simhash_near_dups", "hash_split",
     "beta_scores", "auc_scores", "deep_features", "image_phash_check",
-    # -- added late r3 (past the frozen r3 window; r4 rotates it in)
+    # -- added late r3 (past the frozen r3 window; r4 rotates them in)
     "dup_clusters",
+    "audio_decode_stats", "audio_spectral", "audio_resample",
+    "audio_transcode_snr", "video_stats", "video_frame_sample",
 ]
 
 

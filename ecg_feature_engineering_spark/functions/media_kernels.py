@@ -31,6 +31,16 @@ from ecg_feature_engineering_spark.functions.kernels import periodogram_np
 _LUMA = np.array([0.299, 0.587, 0.114])
 
 
+def _luma(frames: np.ndarray) -> np.ndarray:
+    """Rec.601 luma via explicit elementwise ops. NOT ``frames @ _LUMA``:
+    numpy's batched matmul over a (n,h,w,3) stack is SIMD-blocked at
+    array-offset granularity, so IDENTICAL frames at different offsets
+    can produce last-ulp-different luma — which broke the exact
+    motion==0 invariant for planted static clips (measured 6e-15)."""
+    f = frames.astype(np.float64)
+    return f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+
+
 # ---------------------------------------------------------------------
 # Audio
 # ---------------------------------------------------------------------
@@ -154,19 +164,23 @@ def resample_audio(df, target_sr: int, id_col: str = "audio_id",
         .mapInPandas(run, schema=out_schema)
 
 
-def audio_snr_roundtrip(df, id_col: str = "audio_id",
-                        bytes_col: str = "bytes", fmt_col: str = "fmt"):
+def audio_transcode_snr(df, target_fmt: str = "pcm8",
+                        id_col: str = "audio_id", bytes_col: str = "bytes",
+                        fmt_col: str = "fmt"):
     """Payload invariant (the audio twin of ``psnr_roundtrip``): decode ->
-    re-encode in the row's own format -> decode; SNR between the two
-    decodes. pcm16 must be exact (capped 999 dB), pcm8 >= its 8-bit
-    quantization floor (~30 dB for this corpus, pinned in the digest)."""
+    transcode to ``target_fmt`` -> decode; SNR between the two decodes.
+    Note a SAME-format roundtrip is always exact here (PCM quantization is
+    idempotent), so the lossy invariant is the 16->8-bit transcode: pcm16
+    sources land at the 8-bit quantization floor (>=40 dB on this corpus,
+    pinned in the digest), pcm8 sources are exact (capped 999 dB)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for d, f in zip(b[bytes_col].to_numpy(), b[fmt_col].to_numpy()):
+            for d in b[bytes_col].to_numpy():
                 sr, x = audiocodec.decode_wav(d)
-                _, x2 = audiocodec.decode_wav(audiocodec.encode(x, sr, f))
+                _, x2 = audiocodec.decode_wav(
+                    audiocodec.encode(x, sr, target_fmt))
                 rows.append(min(audiocodec.snr_db(x, x2), 999.0))
             yield pd.DataFrame({id_col: b[id_col], "fmt": b[fmt_col],
                                 "snr_db": np.array(rows)})
@@ -202,7 +216,7 @@ def video_stats(df, id_col: str = "video_id", bytes_col: str = "bytes",
             counts = np.empty(n, dtype=np.int32)
             for i, d in enumerate(b[bytes_col].to_numpy()):
                 _, frames = videocodec.decode_fvid(d)
-                luma = frames.astype(np.float64) @ _LUMA
+                luma = _luma(frames)
                 if len(frames) > 1:
                     diffs = np.abs(np.diff(luma, axis=0))
                     per_step = diffs.mean(axis=(1, 2))
@@ -243,7 +257,7 @@ def sample_frames(df, every_k: int = 4, id_col: str = "video_id",
             for j, d in enumerate(b[bytes_col].to_numpy()):
                 _, frames = videocodec.decode_fvid(d)
                 for k in range(0, len(frames), every_k):
-                    luma = frames[k].astype(np.float64) @ _LUMA
+                    luma = _luma(frames[k])
                     for c in keep:
                         rows[c].append(b[c].iloc[j])
                     idxs.append(k)
