@@ -58,11 +58,18 @@ MOMENT_REL_FLOOR = 1e-12
 GROUP_MEAN_COL = "__grp_mu"
 
 
-def with_group_mean(df, value: str, by, mu_col: str = GROUP_MEAN_COL):
+def with_group_mean(df, value: str, by, mu_col: str = GROUP_MEAN_COL,
+                    broadcast: bool = True):
     """Pass 1 of the two-pass centered-moment scheme: broadcast the
     per-group mean back onto the rows. One tiny agg (one row per group,
     map-side combined) + a broadcast join — the fact side is NOT
     re-shuffled, so the scheme adds no data-sized shuffle at any scale.
+
+    ``broadcast=False`` for extreme group cardinality (beyond ~10M
+    entities the mean table outgrows broadcast): the join then shuffles
+    both sides on the group key, and the downstream centered agg reuses
+    that exact partitioning — one data-sized shuffle total, which is the
+    honest price of numerically-correct higher moments at that scale.
 
     Two-pass centering is the numerically required formulation: the raw
     power-sum m4 - 4·m1·m3 + ... form loses up to ~1e-3 relative accuracy
@@ -72,7 +79,7 @@ def with_group_mean(df, value: str, by, mu_col: str = GROUP_MEAN_COL):
     tests/test_adversarial_parity.py::test_constant_series_parity)."""
     by_cols = [by] if isinstance(by, str) else list(by)
     mu = df.groupBy(*by_cols).agg(F.avg(value).alias(mu_col))
-    return df.join(F.broadcast(mu), by_cols)
+    return df.join(F.broadcast(mu) if broadcast else mu, by_cols)
 
 
 def _centered(col, mu, k: int) -> Column:
