@@ -516,7 +516,12 @@ def q_variability(spark, sf_dir):
     vl = round(value*100) — order-independent, hence bit-identical between
     Spark and the DuckDB oracle regardless of aggregation order (a float
     sum's last-ulp noise can flip the 6th-decimal rounding; an int sum
-    can't). stats.variability_aggs stays the general-double API."""
+    can't). stats.variability_aggs stays the general-double API.
+
+    Domain precondition: sum(vl²) must fit int64, i.e. |value| <= ~1e7
+    at n<=100 events/entity (beyond that, ANSI aborts on overflow while
+    DuckDB widens to HUGEINT — use the double API for wider-range data).
+    The adversarial huge-offset corpus pins this boundary."""
     ev = _events(spark, sf_dir)
     ev = ev.withColumn("vl", F.round(F.col("value") * 100).cast("long"))
     ev = windows.with_lag_diff(ev, "vl", "user_id", _ORDER, 1, "d1")
@@ -1723,7 +1728,9 @@ def q_sample_entropy(spark, sf_dir):
     stays the blocked kernel). r matches the kernel's 0.2*std to the last
     ulp via exact-int power sums; pair distances are 2-decimal quantized,
     so the <= r comparisons can't straddle the ulp gap. Kernel's
-    short-series patch (n < m+2) never binds at >= 60 events/entity."""
+    short-series patch (n < m+2) never binds at >= 60 events/entity.
+    Same int64 domain precondition as `variability` (exact-int power
+    sums): |value| <= ~1e7 at n<=100 events/entity."""
     ev = _events(spark, sf_dir)
     # auto-gated path (stats.sample_entropy_auto): the relational
     # self-join (3-4x the Arrow kernel at this events-per-entity scale)
@@ -1950,7 +1957,8 @@ def q_variability_full(spark, sf_dir):
     Poincare pair distance sqrt(nn_i^2 + nn_{i+1}^2) — is quantized to
     round(pair*1000) BEFORE summation on BOTH sides, removing float-sum
     order sensitivity there too (sqrt of a non-square int is irrational,
-    so the .5 rounding tie can't occur)."""
+    so the .5 rounding tie can't occur). Same int64 domain precondition
+    as `variability`: |value| <= ~1e7 at n<=100 events/entity."""
     ev = _events(spark, sf_dir)
     trimmed = windows.trim_endpoints(ev, "user_id", _ORDER)
     t = trimmed.withColumn("vl", F.round(F.col("value") * 100).cast("long"))

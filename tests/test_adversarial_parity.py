@@ -202,7 +202,15 @@ def const_dir(spark, tmp_path_factory):
     rows, eid = [], 0
     for u, vals in ((1, [7.77] * 30), (2, [1.23] * 3),
                     (3, [round(1 + 8 * i / 29, 2) for i in range(30)]),
-                    (4, [5.0] * 29 + [5.01])):
+                    (4, [5.0] * 29 + [5.01]),
+                    # genuine variation on a huge offset: raw power-sum
+                    # float moments are cancellation garbage here
+                    # (m2r ~ 1e12, c2 ~ 18); centered two-pass is exact.
+                    # 1e6 stays inside the integer-quantization domain of
+                    # the hash-hardened queries (|value| <= ~1e7, see
+                    # q_variability docstring) — 1e8 overflows their
+                    # int64 power sums under ANSI
+                    (5, [1e6 + i * 0.5 for i in range(30)])):
         for v in vals:
             rows.append((eid, pd.Timestamp("2024-01-01")
                          + pd.Timedelta(minutes=eid), u, "view", float(v)))
