@@ -374,26 +374,9 @@ def main():
 
     spark = get_spark(app_name="bench", cores=cpus)
     contract.ensure_workers_can_import(spark)
-    timings: dict[str, float] = {}
 
     # warm the JVM/Python workers once so timings measure steady state
     spark.range(10**6).selectExpr("sum(id)").collect()
-
-    for name in CONTRACT_QUERIES:
-        timings[name] = bench_one(contract.QUERY_BUILDERS[name], spark, sf_dir)
-
-    # minhash production arm: the contract query runs md5-oracle mode (so
-    # DuckDB can replay it); the deployed default is xxhash64 — time BOTH
-    # so the headline doesn't overstate production cost (VERDICT r2 #6).
-    # Kept OUT of the summed headline total: rounds 1-2 never measured
-    # this arm, and silently growing the total would fake a regression
-    # in any round-over-round comparison.
-    from ecg_feature_engineering_spark.operators import dedup
-    t0 = time.time()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    materialize(dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3, k=64,
-                                        bands=16, threshold=0.5, hash="xx"))
-    minhash_xx_sec = round(time.time() - t0, 3)
 
     # image corpus staged ONCE and scanned (production shape — the
     # measured pipelines read an image table; in-plan datagen would charge
@@ -406,20 +389,56 @@ def main():
         datagen.snapshots_df(spark, n_entities, 12, 42) \
             .write.mode("overwrite").parquet(hstage + "_snapshots")
 
-    # image payload pipeline: decode + stats over the staged corpus
-    t0 = time.time()
-    img = spark.read.parquet(hstage)
-    materialize(kernels.decode_stats(img, keep=["image_id"]))
-    timings["image_decode_stats"] = round(time.time() - t0, 3)
+    from ecg_feature_engineering_spark.operators import dedup
 
-    # flagship end-to-end (as-of join + windowed features + image kernels)
-    t0 = time.time()
-    snapshots = spark.read.parquet(hstage + "_snapshots")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    materialize(fplan.feature_plan(img, snapshots, events, n_entities))
-    flagship_sec = round(time.time() - t0, 3)
-    timings["flagship"] = flagship_sec
+    def headline_pass() -> tuple[dict[str, float], float]:
+        t: dict[str, float] = {}
+        for name in CONTRACT_QUERIES:
+            t[name] = bench_one(contract.QUERY_BUILDERS[name], spark, sf_dir)
 
+        # minhash production arm: the contract query runs md5-oracle mode
+        # (so DuckDB can replay it); the deployed default is xxhash64 —
+        # time BOTH so the headline doesn't overstate production cost
+        # (VERDICT r2 #6). Kept OUT of the summed headline total: rounds
+        # 1-2 never measured this arm, and silently growing the total
+        # would fake a regression in any round-over-round comparison.
+        t0 = time.time()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        materialize(dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3,
+                                            k=64, bands=16, threshold=0.5,
+                                            hash="xx"))
+        xx_sec = round(time.time() - t0, 3)
+
+        # image payload pipeline: decode + stats over the staged corpus
+        t0 = time.time()
+        img = spark.read.parquet(hstage)
+        materialize(kernels.decode_stats(img, keep=["image_id"]))
+        t["image_decode_stats"] = round(time.time() - t0, 3)
+
+        # flagship end-to-end (as-of + windowed features + image kernels)
+        t0 = time.time()
+        snapshots = spark.read.parquet(hstage + "_snapshots")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        materialize(fplan.feature_plan(img, snapshots, events, n_entities))
+        t["flagship"] = round(time.time() - t0, 3)
+        return t, xx_sec
+
+    # Best-of-N over FULL interleaved passes: this VM's wall clock drifts
+    # up to ~40% between minutes (BENCH.md), and a single-sample headline
+    # handed the round record a 3x-drifted flagship number once. Two
+    # passes cost ~1 extra minute and the per-query min is drift-robust
+    # the same way the scaling block's best-of-4 pairs are; pass 1 also
+    # serves as the page-cache/codegen warm-up for pass 2.
+    n_passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
+    timings: dict[str, float] = {}
+    minhash_xx_sec = float("inf")
+    for _ in range(max(n_passes, 1)):
+        t, xx = headline_pass()
+        minhash_xx_sec = min(minhash_xx_sec, xx)
+        for k, v in t.items():
+            timings[k] = min(timings.get(k, float("inf")), v)
+
+    flagship_sec = timings["flagship"]
     total = round(sum(timings.values()), 3)
     spark.stop()
 
