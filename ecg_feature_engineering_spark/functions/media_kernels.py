@@ -235,6 +235,40 @@ def video_stats(df, id_col: str = "video_id", bytes_col: str = "bytes",
         .mapInPandas(run, schema=out_schema)
 
 
+def resize_frames(df, out_h: int, out_w: int, id_col: str = "video_id",
+                  bytes_col: str = "bytes", keep: list[str] | None = None):
+    """Resize every frame of every clip onto a common (out_h, out_w) grid
+    (deterministic area-mean, the image ``resize_images`` resampler
+    applied along the frame axis) and re-encode as FVID. Completes the
+    brief's multimodal verb list — decode / feature-extract / resize /
+    frame-sample — for the video column."""
+    from ecg_feature_engineering_spark.datagen.codecs import area_resize
+
+    keep = keep if keep is not None else [id_col]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (", ".join(f"{c} {types[c]}" for c in keep)
+                  + ", bytes binary, w int, h int, n_frames int")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            enc, counts = [], []
+            for d in b[bytes_col].to_numpy():
+                fps, frames = videocodec.decode_fvid(d)
+                small = np.stack([area_resize(f, out_h, out_w)
+                                  for f in frames])
+                enc.append(videocodec.encode_fvid(small, fps))
+                counts.append(len(frames))
+            out = b[keep].copy()
+            out["bytes"] = enc
+            out["w"] = np.int32(out_w)
+            out["h"] = np.int32(out_h)
+            out["n_frames"] = np.array(counts, dtype=np.int32)
+            yield out
+
+    return df.select(*dict.fromkeys([*keep, bytes_col])) \
+        .mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(df, every_k: int = 4, id_col: str = "video_id",
                   bytes_col: str = "bytes", keep: list[str] | None = None):
     """Frame sampling — the row-EXPANDING kernel: one video row -> one row

@@ -189,6 +189,24 @@ def test_sample_frames_expansion_shape(video_df):
     assert set(fs["video_id"]) == set(n_frames.index)
 
 
+def test_resize_frames_common_grid(video_df):
+    from ecg_feature_engineering_spark.datagen.codecs import area_resize
+
+    out = mk.resize_frames(video_df, 8, 8, keep=["video_id"]) \
+        .toPandas().set_index("video_id")
+    src = video_df.select("video_id", "n_frames", "bytes").toPandas()
+    assert (out["w"] == 8).all() and (out["h"] == 8).all()
+    for _, r in src.sample(5, random_state=4).iterrows():
+        row = out.loc[r["video_id"]]
+        assert row["n_frames"] == r["n_frames"]
+        fps_in, frames_in = dgv.decode_fvid(r["bytes"])
+        fps_out, frames_out = dgv.decode_fvid(row["bytes"])
+        assert fps_out == fps_in and frames_out.shape == (len(frames_in), 8, 8, 3)
+        # per-frame equality with the image resampler (exact: FVID is lossless)
+        np.testing.assert_array_equal(frames_out[0],
+                                      area_resize(frames_in[0], 8, 8))
+
+
 def test_media_query_schemas(spark):
     """The registered contract queries keep their driver-facing schema."""
     from ecg_feature_engineering_spark import contract
