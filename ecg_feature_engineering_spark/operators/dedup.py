@@ -400,15 +400,18 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         nbr_min = (edges.join(labels, "__u")
                    .groupBy(F.col("__v").alias("__u"))
                    .agg(F.min("__label").alias("__nbr")))
-        new_labels = (labels.join(nbr_min, "__u")
-                      .select("__u", F.least("__label", "__nbr")
-                              .alias("__label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "__u")
-                   .where(F.col("n.__label") != F.col("o.__label"))
-                   .count())
-        labels = new_labels
+        # new = least(old, nbr) <= old, so "changed" is exactly nbr < old —
+        # derived inline; the convergence count then reads the already-
+        # materialized checkpoint instead of re-joining old vs new labels
+        # (one fewer join+shuffle per round)
+        stepped = (labels.join(nbr_min, "__u")
+                   .select("__u",
+                           F.least("__label", "__nbr").alias("__label"),
+                           (F.col("__nbr") < F.col("__label"))
+                           .alias("__changed"))
+                   .localCheckpoint(eager=True))
+        changed = stepped.where("__changed").count()
+        labels = stepped.drop("__changed")
         if changed == 0:
             converged = True
             break
