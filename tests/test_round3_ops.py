@@ -155,8 +155,28 @@ def test_certification_window_composition():
     for n in ("flagship", "wavelet_stats", "spectrogram"):
         assert n in window
         assert n in o  # since r3: pinned-digest oracles, no rows-only left
-    # every query past slot 50 was driver-certified green in r1 or r2
+    # every query past slot 50 is oracle-backed too: r1/r2-certified
+    # sentinels plus the late-r3 additions (dup_clusters + media), which
+    # are locally parity-green and rotate into the r4 window
     assert all(n in o for n in names[50:])
+    # the r3 window is FROZEN — position-pinned so registry edits cannot
+    # silently displace what the driver will certify (COVERAGE.md ledger)
+    assert window == [
+        "variability", "sessionize", "session_aggs", "crossing_count",
+        "zigzag", "sample_entropy", "sample_entropy_qrs", "fft_band_power",
+        "fft_features", "variability_full", "qrs_yuxi", "crossing_widths",
+        "anchor_window_aggs", "anchor_fiducials_kernel", "cdf_density",
+        "rdensity", "per_lead_summary", "nan_scrub", "pivot_one_hot",
+        "smooth_labels", "seeded_shuffle", "balance_classes", "scale_input",
+        "dataset_profile", "minmax_scalar_prepass", "rollup_returns",
+        "distinct_thresholds_desc", "tumbling_time_windows",
+        "sliding_time_windows", "phash_near_dups", "image_psnr_roundtrip",
+        "image_resize", "lsh_topk", "embedding_near_dup", "ivf_topk",
+        "e3_pipeline", "long_features_parity", "flagship", "wavelet_stats",
+        "spectrogram", "tpch_pricing_summary", "asof_backward",
+        "hrv_features", "basic_stats", "sliding_segments", "langid",
+        "dedup_exact", "minhash_lsh", "cosine_topk", "image_decode_stats",
+    ]
 
 
 def test_entry_smoke(spark):
