@@ -1,3 +1,3 @@
-from ecg_feature_engineering_spark.datagen import codecs, images
+from ecg_feature_engineering_spark.datagen import audio, codecs, images, video
 
-__all__ = ["codecs", "images"]
+__all__ = ["audio", "codecs", "images", "video"]
