@@ -395,7 +395,8 @@ s AS (
     quantile_cont(e.value, 0.05) q5, quantile_cont(e.value, 0.25) q25,
     quantile_cont(e.value, 0.50) q50, quantile_cont(e.value, 0.75) q75,
     quantile_cont(e.value, 0.95) q95
-  FROM events e JOIN mu USING (user_id) GROUP BY e.user_id)
+  FROM events e JOIN mu ON e.user_id IS NOT DISTINCT FROM mu.user_id
+  GROUP BY e.user_id)
 SELECT user_id,
   round(m1, 6) AS stat_mean,
   round(CASE WHEN m1 <> 0 THEN 1.0 / m1 ELSE 0.0 END, 6) AS stat_hr,
@@ -441,7 +442,8 @@ s AS (
     quantile_cont(e.value, 0.50) q50, quantile_cont(e.value, 0.75) q75,
     quantile_cont(e.value, 0.90) q90, quantile_cont(e.value, 0.95) q95,
     quantile_cont(e.value, 0.99) q99
-  FROM events e JOIN mu USING (user_id) GROUP BY e.user_id)
+  FROM events e JOIN mu ON e.user_id IS NOT DISTINCT FROM mu.user_id
+  GROUP BY e.user_id)
 SELECT user_id,
   round(mx - mn, 6) AS ls_range,
   round(c2, 6) AS ls_var,
@@ -518,7 +520,7 @@ def q_variability(spark, sf_dir):
     sum's last-ulp noise can flip the 6th-decimal rounding; an int sum
     can't). stats.variability_aggs stays the general-double API.
 
-    Domain precondition: sum(vl²) must fit int64, i.e. |value| <= ~1e7
+    Domain precondition: sum(vl²) must fit int64, i.e. |value| <= ~3e6
     at n<=100 events/entity (beyond that, ANSI aborts on overflow while
     DuckDB widens to HUGEINT — use the double API for wider-range data).
     The adversarial huge-offset corpus pins this boundary."""
@@ -1730,7 +1732,7 @@ def q_sample_entropy(spark, sf_dir):
     so the <= r comparisons can't straddle the ulp gap. Kernel's
     short-series patch (n < m+2) never binds at >= 60 events/entity.
     Same int64 domain precondition as `variability` (exact-int power
-    sums): |value| <= ~1e7 at n<=100 events/entity."""
+    sums): |value| <= ~3e6 at n<=100 events/entity."""
     ev = _events(spark, sf_dir)
     # auto-gated path (stats.sample_entropy_auto): the relational
     # self-join (3-4x the Arrow kernel at this events-per-entity scale)
@@ -1958,7 +1960,7 @@ def q_variability_full(spark, sf_dir):
     round(pair*1000) BEFORE summation on BOTH sides, removing float-sum
     order sensitivity there too (sqrt of a non-square int is irrational,
     so the .5 rounding tie can't occur). Same int64 domain precondition
-    as `variability`: |value| <= ~1e7 at n<=100 events/entity."""
+    as `variability`: |value| <= ~3e6 at n<=100 events/entity."""
     ev = _events(spark, sf_dir)
     trimmed = windows.trim_endpoints(ev, "user_id", _ORDER)
     t = trimmed.withColumn("vl", F.round(F.col("value") * 100).cast("long"))
@@ -2769,8 +2771,11 @@ def q_audio_spectral(spark, sf_dir):
     sp = media_kernels.audio_spectral(
         aud, keep=["audio_id", "fmt", "sr", "n_samples", "f0_hz"])
     sp = _round(sp, ["spectral_centroid_hz"])
+    # try_divide: int/int `/` ANSI-aborts on a zero-sample clip (CLAUDE.md
+    # rule); null bin width -> null ok -> excluded from the sum, which is
+    # the right failure mode for a degenerate row
     ok = (F.abs(F.col("dominant_hz") - F.col("f0_hz"))
-          <= F.col("sr") / F.col("n_samples"))
+          <= F.try_divide(F.col("sr"), F.col("n_samples")))
     return sp.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(ok.cast("long")).alias("n_dominant_ok"),

@@ -69,6 +69,12 @@ def audio_decode_stats(df, id_col: str = "audio_id",
             meta = np.empty((n, 2), dtype=np.int32)
             for i, d in enumerate(b[bytes_col].to_numpy()):
                 sr, x = audiocodec.decode_wav(d)
+                if len(x) == 0:
+                    # a structurally valid WAV with an empty data chunk:
+                    # all-zero stats row, not a zero-size-reduction crash
+                    stats[i] = (0.0, 0.0, 0.0, 0.0, 0.0)
+                    meta[i] = (sr, 0)
+                    continue
                 zc = np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
                 dur = len(x) / sr
                 stats[i] = (
@@ -113,6 +119,9 @@ def audio_spectral(df, id_col: str = "audio_id", bytes_col: str = "bytes",
             feats = np.empty((n, 6), dtype=np.float64)
             for i, d in enumerate(b[bytes_col].to_numpy()):
                 sr, x = audiocodec.decode_wav(d)
+                if len(x) == 0:  # empty data chunk: all-zero feature row
+                    feats[i] = (0.0,) * 6
+                    continue
                 freqs, pxx = periodogram_np(x, float(sr))
                 tot = float(pxx.sum())
                 centroid = float((freqs * pxx).sum() / tot) if tot > 0 else 0.0
@@ -131,6 +140,17 @@ def audio_spectral(df, id_col: str = "audio_id", bytes_col: str = "bytes",
         .mapInPandas(run, schema=out_schema)
 
 
+def resample_grid(n_in: int, sr_in: int, sr_out: int
+                  ) -> tuple[int, np.ndarray]:
+    """Target-clock grid for a linear-interp resample: output length
+    (duration-preserving rounding, min 1) and the output sample times in
+    SOURCE sample units, anchored at t=0. Pure function shared by the
+    Spark kernel and the property-based fuzz suite so grid-math
+    regressions cannot hide behind a test-local reimplementation."""
+    n_out = max(int(round(n_in * sr_out / sr_in)), 1)
+    return n_out, np.arange(n_out) * (sr_in / sr_out)
+
+
 def resample_audio(df, target_sr: int, id_col: str = "audio_id",
                    bytes_col: str = "bytes", out_fmt: str = "pcm16",
                    keep: list[str] | None = None):
@@ -147,9 +167,11 @@ def resample_audio(df, target_sr: int, id_col: str = "audio_id",
             enc, lens = [], []
             for d in b[bytes_col].to_numpy():
                 sr, x = audiocodec.decode_wav(d)
-                n_out = max(int(round(len(x) * target_sr / sr)), 1)
-                # sample-index grids of both clocks, endpoints aligned
-                t_out = np.arange(n_out) * (sr / target_sr)
+                if len(x) == 0:  # empty in -> empty out (valid 0-sample WAV)
+                    enc.append(audiocodec.encode(x, target_sr, out_fmt))
+                    lens.append(0)
+                    continue
+                n_out, t_out = resample_grid(len(x), sr, target_sr)
                 y = np.interp(t_out, np.arange(len(x)), x)
                 enc.append(audiocodec.encode(y, target_sr, out_fmt))
                 lens.append(n_out)
@@ -284,20 +306,23 @@ def sample_frames(df, every_k: int = 4, id_col: str = "video_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = {c: [] for c in keep}
+            counts: list[int] = []  # sampled frames per input row
             idxs: list[int] = []
             means: list[float] = []
             stds: list[float] = []
-            for j, d in enumerate(b[bytes_col].to_numpy()):
+            for d in b[bytes_col].to_numpy():
                 _, frames = videocodec.decode_fvid(d)
-                for k in range(0, len(frames), every_k):
+                ks = range(0, len(frames), every_k)
+                counts.append(len(ks))
+                for k in ks:
                     luma = _luma(frames[k])
-                    for c in keep:
-                        rows[c].append(b[c].iloc[j])
                     idxs.append(k)
                     means.append(float(luma.mean()))
                     stds.append(float(luma.std()))
-            out = pd.DataFrame(rows)
+            # keep columns assembled ONCE per batch via index-repeat (no
+            # per-frame pandas scalar access on the hot decode path)
+            out = b[keep].iloc[
+                np.repeat(np.arange(len(b)), counts)].reset_index(drop=True)
             out["frame_idx"] = np.array(idxs, dtype=np.int32)
             out["frame_luma_mean"] = np.array(means, dtype=np.float64)
             out["frame_luma_std"] = np.array(stds, dtype=np.float64)

@@ -79,7 +79,19 @@ def with_group_mean(df, value: str, by, mu_col: str = GROUP_MEAN_COL,
     tests/test_adversarial_parity.py::test_constant_series_parity)."""
     by_cols = [by] if isinstance(by, str) else list(by)
     mu = df.groupBy(*by_cols).agg(F.avg(value).alias(mu_col))
-    return df.join(F.broadcast(mu) if broadcast else mu, by_cols)
+    right = F.broadcast(mu) if broadcast else mu
+    # null-SAFE equality: groupBy treats NULL as a group, so the mean
+    # join-back must too — a plain equi-join would silently drop every
+    # NULL-keyed group from the output (the oracle twin is
+    # "ON a.k IS NOT DISTINCT FROM b.k")
+    cond = None
+    for c in by_cols:
+        term = df[c].eqNullSafe(right[c])
+        cond = term if cond is None else (cond & term)
+    out = df.join(right, cond)
+    for c in by_cols:
+        out = out.drop(right[c])
+    return out
 
 
 def _centered(col, mu, k: int) -> Column:

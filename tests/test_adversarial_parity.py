@@ -207,7 +207,7 @@ def const_dir(spark, tmp_path_factory):
                     # float moments are cancellation garbage here
                     # (m2r ~ 1e12, c2 ~ 18); centered two-pass is exact.
                     # 1e6 stays inside the integer-quantization domain of
-                    # the hash-hardened queries (|value| <= ~1e7, see
+                    # the hash-hardened queries (|value| <= ~3e6, see
                     # q_variability docstring) — 1e8 overflows their
                     # int64 power sums under ANSI
                     (5, [1e6 + i * 0.5 for i in range(30)])):

@@ -10,6 +10,7 @@ from hypothesis import strategies as st
 
 from ecg_feature_engineering_spark.datagen import audio as dga
 from ecg_feature_engineering_spark.datagen import video as dgv
+from ecg_feature_engineering_spark.functions import media_kernels as mk
 
 
 @settings(max_examples=40, deadline=None)
@@ -69,14 +70,18 @@ def test_fvid_roundtrip_any_shape(n, h, w, fps, seed):
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 def test_resample_grid_endpoints(n, sr_in, sr_out, seed):
-    """Resample length math and endpoint alignment hold for any rate pair:
-    output grid starts at sample 0 and never reads past the source."""
+    """Resample length math and endpoint alignment hold for any rate
+    pair, checked against the KERNEL's own grid function (resample_grid —
+    shared with resample_audio, so grid regressions cannot hide behind a
+    test-local reimplementation)."""
     rng = np.random.default_rng(seed)
     x = rng.uniform(-0.9, 0.9, n)
-    n_out = max(int(round(n * sr_out / sr_in)), 1)
-    t_out = np.arange(n_out) * (sr_in / sr_out)
+    n_out, t_out = mk.resample_grid(n, sr_in, sr_out)
+    assert n_out == max(int(round(n * sr_out / sr_in)), 1)
     y = np.interp(t_out, np.arange(n), x)
     assert np.isclose(y[0], x[0])  # grid anchored at t=0
     assert len(y) == n_out
+    # duration preserved within one output sample period
+    assert abs(n_out / sr_out - n / sr_in) <= 1.0 / sr_out + 1e-12
     # np.interp clamps beyond the last sample: tail is the last value
     assert abs(y[-1]) <= max(abs(x.min()), abs(x.max())) + 1e-12

@@ -134,6 +134,28 @@ def test_audio_resample_against_numpy_interp(audio_df):
             np.testing.assert_allclose(y, x, atol=1e-12)
 
 
+def test_empty_wav_payload_survives_kernels(spark):
+    """A structurally valid WAV with a 0-sample data chunk must produce an
+    all-zero stats row, not crash the task (review finding: np.max on a
+    zero-size array)."""
+    import pandas as pd
+
+    from ecg_feature_engineering_spark import contract
+
+    contract.ensure_workers_can_import(spark)
+    empty = dga.encode(np.zeros(0), 8000, "pcm16")
+    df = spark.createDataFrame(
+        pd.DataFrame({"audio_id": ["a0"], "bytes": [empty]}))
+    got = mk.audio_decode_stats(df, keep=["audio_id"]).toPandas().iloc[0]
+    assert got["decoded_n"] == 0 and got["rms"] == 0.0 and got["peak"] == 0.0
+    sp = mk.audio_spectral(df, keep=["audio_id"]).toPandas().iloc[0]
+    assert sp["total_power"] == 0.0 and sp["dominant_hz"] == 0.0
+    rs = mk.resample_audio(df, 4000, keep=["audio_id"]).toPandas().iloc[0]
+    assert rs["n_samples"] == 0
+    _, y = dga.decode_wav(rs["bytes"])
+    assert len(y) == 0
+
+
 def test_audio_transcode_snr_floor(audio_df):
     snr = mk.audio_transcode_snr(audio_df, "pcm8").toPandas()
     assert (snr["snr_db"] >= 40.0).all()

@@ -112,3 +112,18 @@ def test_crossing_and_zigzag(spark, sf_dir, events_pdf):
         want_z = int(((x[1:-1] - x[:-2]) * (x[2:] - x[1:-1]) < 0).sum()) + 1
         assert got_c[uid] == want_c
         assert got_z[uid] == want_z
+
+
+def test_with_group_mean_preserves_null_keys(spark):
+    """groupBy treats NULL as a group, so the pass-1 mean join-back must
+    too (review finding: a plain equi-join silently dropped NULL-keyed
+    groups from basic/long stats)."""
+    df = spark.createDataFrame(
+        [(1, 2.0), (1, 4.0), (None, 10.0), (None, 30.0)],
+        "user_id int, value double")
+    out = stats.with_group_mean(df, "value", "user_id").toPandas()
+    assert len(out) == 4
+    null_rows = out[out["user_id"].isna()]
+    assert len(null_rows) == 2
+    assert (null_rows[stats.GROUP_MEAN_COL] == 20.0).all()
+    assert (out[out["user_id"] == 1][stats.GROUP_MEAN_COL] == 3.0).all()
