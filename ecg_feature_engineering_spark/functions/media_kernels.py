@@ -201,6 +201,11 @@ def audio_transcode_snr(df, target_fmt: str = "pcm8",
             rows = []
             for d in b[bytes_col].to_numpy():
                 sr, x = audiocodec.decode_wav(d)
+                if len(x) == 0:
+                    # 0-sample clip: the roundtrip is trivially exact;
+                    # snr_db would be 0/0 = NaN, not the exact-cap value
+                    rows.append(999.0)
+                    continue
                 _, x2 = audiocodec.decode_wav(
                     audiocodec.encode(x, sr, target_fmt))
                 rows.append(min(audiocodec.snr_db(x, x2), 999.0))
@@ -238,6 +243,12 @@ def video_stats(df, id_col: str = "video_id", bytes_col: str = "bytes",
             counts = np.empty(n, dtype=np.int32)
             for i, d in enumerate(b[bytes_col].to_numpy()):
                 _, frames = videocodec.decode_fvid(d)
+                if len(frames) == 0:
+                    # structurally valid 0-frame FVID: all-zero stats row
+                    # (luma.mean() on an empty stack is NaN, not a value)
+                    feats[i] = (0.0, 0.0, 0.0, 0.0)
+                    counts[i] = 0
+                    continue
                 luma = _luma(frames)
                 if len(frames) > 1:
                     diffs = np.abs(np.diff(luma, axis=0))
@@ -276,8 +287,13 @@ def resize_frames(df, out_h: int, out_w: int, id_col: str = "video_id",
             enc, counts = [], []
             for d in b[bytes_col].to_numpy():
                 fps, frames = videocodec.decode_fvid(d)
-                small = np.stack([area_resize(f, out_h, out_w)
-                                  for f in frames])
+                if len(frames) == 0:
+                    # np.stack([]) raises; an empty clip resizes to an
+                    # empty clip of the TARGET shape
+                    small = np.zeros((0, out_h, out_w, 3), dtype=np.uint8)
+                else:
+                    small = np.stack([area_resize(f, out_h, out_w)
+                                      for f in frames])
                 enc.append(videocodec.encode_fvid(small, fps))
                 counts.append(len(frames))
             out = b[keep].copy()

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from ecg_feature_engineering_spark.datagen import audio as dga
 from ecg_feature_engineering_spark.datagen import video as dgv
@@ -154,6 +155,31 @@ def test_empty_wav_payload_survives_kernels(spark):
     assert rs["n_samples"] == 0
     _, y = dga.decode_wav(rs["bytes"])
     assert len(y) == 0
+    snr = mk.audio_transcode_snr(
+        df.withColumn("fmt", F.lit("pcm16")), "pcm8").toPandas().iloc[0]
+    assert snr["snr_db"] == 999.0  # exact roundtrip, not 0/0 NaN
+
+
+def test_empty_fvid_payload_survives_kernels(spark):
+    """A structurally valid 0-frame FVID must yield an all-zero stats row,
+    zero sampled frames, and an empty resized clip — not NaNs or a
+    np.stack([]) crash."""
+    import pandas as pd
+
+    from ecg_feature_engineering_spark import contract
+
+    contract.ensure_workers_can_import(spark)
+    empty = dgv.encode_fvid(np.zeros((0, 4, 6, 3), dtype=np.uint8), 8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["v0"], "bytes": [empty]}))
+    vs = mk.video_stats(df, keep=["video_id"]).toPandas().iloc[0]
+    assert vs["decoded_frames"] == 0
+    assert vs["luma_mean"] == 0.0 and vs["motion_max"] == 0.0
+    assert mk.sample_frames(df, keep=["video_id"]).count() == 0
+    rz = mk.resize_frames(df, 2, 3, keep=["video_id"]).toPandas().iloc[0]
+    assert rz["n_frames"] == 0
+    _, frames = dgv.decode_fvid(rz["bytes"])
+    assert frames.shape == (0, 2, 3, 3)
 
 
 def test_audio_transcode_snr_floor(audio_df):
