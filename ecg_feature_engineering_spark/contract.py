@@ -949,7 +949,10 @@ WITH s AS (
         x -> x IN ('le','les','et','une'))) AS s_fr
   FROM documents)
 SELECT doc_id,
-  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+  -- NULL text: every score is NULL; without the IS-NULL arm the CASE
+  -- would fall through all unknown comparisons to ELSE 'fr', while the
+  -- engine's when(top.s > 0) correctly lands in otherwise('und')
+  CASE WHEN coalesce(greatest(s_de, s_en, s_es, s_fr), 0) = 0 THEN 'und'
        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'

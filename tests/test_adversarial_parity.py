@@ -100,14 +100,21 @@ def tiny_dir(spark, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def hostile_docs_dir(spark, tmp_path_factory):
-    """Documents with tabs, vertical tabs, form feeds, blank docs."""
+    """Documents with tabs, vertical tabs, form feeds, blank docs, NULL
+    text, Unicode NBSP (must NOT split under the pinned ASCII-whitespace
+    contract), and a 3-doc near-dup COMPONENT (docs 10-12:
+    dup_clusters must propagate the min label across the whole component
+    and report cluster_size 3, not stop at pairwise output)."""
     root = tmp_path_factory.mktemp("hostile")
+    chain = "alpha beta gamma delta epsilon zeta eta theta"
     docs = pd.DataFrame({
-        "doc_id": range(8),
+        "doc_id": range(13),
         "text": ["hello world", "\thello\tworld\n",
                  "the quick\x0bbrown fox", "the quick brown\ffox",
-                 "", "\t\n", "a,b, c", "the the the and of is"],
-        "lang": ["en"] * 8,
+                 "", "\t\n", "a,b, c", "the the the and of is",
+                 None, "café latte café latte",
+                 chain + " iota", chain + " kappa", chain + " iota kappa"],
+        "lang": ["en"] * 13,
     })
     spark.createDataFrame(docs).write.mode("overwrite") \
         .parquet(f"{root}/documents.parquet")
@@ -147,6 +154,14 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         "simhash_fingerprints", "simhash_near_dups", "minhash_lsh",
         "hash_split", "dup_clusters",
     ], hostile_docs_dir)
+    # parity alone would pass vacuously if LSH never fired on the planted
+    # component — pin the structure: docs 10-12 form ONE cluster of 3
+    # labeled by the min member id
+    comp = contract.QUERY_BUILDERS["dup_clusters"](
+        spark, hostile_docs_dir).toPandas()
+    c3 = comp[comp["doc_id"].isin([10, 11, 12])]
+    assert len(c3) == 3 and set(c3["component"]) == {10}
+    assert (c3["cluster_size"] == 3).all()
 
 
 @pytest.fixture(scope="module")
