@@ -2886,6 +2886,262 @@ def q_video_frame_sample(spark, sf_dir):
 
 
 # =====================================================================
+# Quality-filter family (C4/Gopher/RefinedWeb public filter rules) +
+# sketches + source-format roundtrips + skew demo (late-r3 batch 2;
+# registered past the frozen window, r4 rotates them in)
+# =====================================================================
+_WS_SQL = r"'[ \t\n\x0B\f\r]+'"
+_STOP_SQL = "['the','and','of','to','a','in','is','it','for','on']"
+
+
+@register("gopher_quality", rf"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, {_WS_SQL}), x -> x <> '') AS ws,
+    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbol
+  FROM documents),
+s AS (
+  SELECT doc_id, n_symbol, len(ws) AS n_words,
+    list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS wl_sum,
+    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter({_STOP_SQL},
+        s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+      AS n_stop_d
+  FROM w),
+v AS (
+  SELECT doc_id, n_words, n_stop_d,
+    CASE WHEN n_words > 0 THEN wl_sum / n_words::DOUBLE ELSE 0.0 END AS mwl,
+    CASE WHEN n_words > 0 THEN n_symbol / n_words::DOUBLE ELSE 0.0 END AS sym,
+    CASE WHEN n_words > 0 THEN n_alpha / n_words::DOUBLE ELSE 0.0 END AS alp
+  FROM s)
+SELECT doc_id,
+  n_words::BIGINT AS n_words_g,
+  round(mwl, 6) AS mean_word_len_g,
+  round(sym, 6) AS symbol_word_ratio,
+  round(alp, 6) AS alpha_word_frac,
+  n_stop_d::BIGINT AS n_stop_distinct,
+  coalesce(n_words BETWEEN 3 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+           AND sym <= 0.1 AND alp >= 0.8 AND n_stop_d >= 2, FALSE)
+    AS passes_gopher
+FROM v
+""")
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality filter (published thresholds; the composed
+    boolean is evaluated on UNROUNDED int-ratio doubles in both engines
+    — identical IEEE results, so the flag is parity-exact)."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.gopher_quality(d, "text").select(
+        "doc_id", "n_words_g", "mean_word_len_g", "symbol_word_ratio",
+        "alpha_word_frac", "n_stop_distinct", "passes_gopher")
+    return _round(out, ["mean_word_len_g", "symbol_word_ratio",
+                        "alpha_word_frac"])
+
+
+@register("pii_scrub", rf"""
+WITH a AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 3 = 0
+        THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN ' see http://site' || (doc_id % 7) || '.example.org/path'
+        ELSE '' END) AS aug
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(aug,
+      '{text.EMAIL_PATTERN}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(aug,
+      '{text.URL_PATTERN}'))::BIGINT AS n_urls,
+  md5(regexp_replace(regexp_replace(aug,
+      '{text.URL_PATTERN}', '<PII>', 'g'),
+      '{text.EMAIL_PATTERN}', '<PII>', 'g')) AS scrubbed_fingerprint
+FROM a
+""")
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub (C4-style email/URL redaction). The driver's documents
+    contain no PII, so both sides deterministically AUGMENT the text from
+    doc_id (same string algebra in Spark and SQL) — the regexes then
+    fire on varying real positions instead of certifying 0==0. NULL text
+    stays NULL through || / concat in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"), did,
+                        F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" see http://site"),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit(".example.org/path"))).otherwise(F.lit("")),
+    )
+    return text.pii_scrub(d.withColumn("text", aug), "text").select(
+        "doc_id", "n_emails", "n_urls", "scrubbed_fingerprint")
+
+
+@register("dup_ngram_fraction", rf"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), {_WS_SQL}),
+                x -> x <> '') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+  FROM w WHERE len(ws) >= 3),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+d AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+    sum(cnt * length(gram)) AS tot,
+    sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup
+  FROM c GROUP BY doc_id)
+SELECT dd.doc_id,
+  coalesce(d.n_grams, 0)::BIGINT AS n_grams,
+  round(coalesce(CASE WHEN d.tot > 0 THEN d.dup / d.tot::DOUBLE END, 0.0), 6)
+    AS dup_ngram_char_frac
+FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id
+""")
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Duplicate word-3-gram character fraction (RefinedWeb/Gopher
+    repetition signal). Docs with < 3 words (incl. NULL text) keep a 0.0
+    fraction via the left join back — row count stays |documents|."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.dup_ngram_stats(d, "text", "doc_id", n=3).select(
+        "doc_id", "n_grams", "dup_ngram_char_frac")
+    return _round(out, ["dup_ngram_char_frac"])
+
+
+@register("approx_distinct_docs", """
+SELECT source, count(DISTINCT text)::BIGINT AS n_exact,
+  TRUE AS within_rel_err
+FROM documents GROUP BY source
+""")
+def q_approx_distinct_docs(spark, sf_dir):
+    """HLL++ distinct-count sketch with an exactness certificate: the
+    contract pins the exact count plus the estimate-within-10% flag —
+    the engine-portable surface of an engine-specific sketch. A group
+    of all-NULL texts certifies 0==0 (HLL of nothing is 0)."""
+    from ecg_feature_engineering_spark.operators import sketches
+
+    d = _t(spark, sf_dir, "documents")
+    out = sketches.distinct_with_certificate(d, "source", "text",
+                                             rel_err=0.1)
+    return out.select("source", "n_exact", "within_rel_err")
+
+
+@register("doc_quantiles", """
+SELECT source,
+  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+  round(quantile_cont(n_chars, 0.50), 6) AS p50,
+  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+  count(n_chars)::BIGINT AS n,
+  TRUE AS approx_p50_is_element
+FROM documents GROUP BY source
+""")
+def q_doc_quantiles(spark, sf_dir):
+    """Exact type-7 quantiles over an integer column with binary-exact
+    probabilities — interpolation is IEEE-exact in every engine, so the
+    VALUES certify (not just flags). The GK sketch (percentile_approx)
+    certifies via its membership property: it returns an element."""
+    from ecg_feature_engineering_spark.operators import sketches
+
+    d = _t(spark, sf_dir, "documents")
+    out = sketches.quantiles_exact(d, "source", "n_chars",
+                                   probs=(0.25, 0.5, 0.75))
+    out = out.select("source", "p25", "p50", "p75", "n",
+                     "approx_p50_is_element")
+    return _round(out, ["p25", "p50", "p75"])
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    """Shared lossless-roundtrip digest: per-lang counts + integer text
+    checksum. Matching this against the oracle computed on the ORIGINAL
+    parquet proves the sink->source roundtrip preserved every aggregated
+    byte (md5 of text catches any character-level corruption)."""
+    chk = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10) \
+           .cast("long")
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("text").alias("n_text"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(chk).alias("text_chk"),
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+SELECT lang, count(*)::BIGINT AS n, count(text)::BIGINT AS n_text,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+    AS text_chk
+FROM documents GROUP BY lang
+"""
+
+
+def _roundtrip_tmp(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"efes_{tag}_{key}")
+
+
+@register("jsonl_roundtrip", _ROUNDTRIP_ORACLE)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink -> schema-locked JSONL source -> digest. The oracle
+    aggregates the ORIGINAL parquet; equality proves the JSON-lines
+    roundtrip is byte-lossless (null fields restored as typed NULLs,
+    control characters preserved through JSON escaping)."""
+    from ecg_feature_engineering_spark.sources import io as eio
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = _roundtrip_tmp(sf_dir, "jsonl")
+    eio.write_jsonl(d, tmp)
+    back = eio.read_jsonl(spark, tmp, d.schema)
+    return _roundtrip_agg(back)
+
+
+@register("orc_roundtrip", _ROUNDTRIP_ORACLE)
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink -> ORC source -> digest vs the parquet-computed oracle:
+    proves the ORC path (same pushdown/pruning surface as parquet) is
+    byte-lossless for the documents schema."""
+    from ecg_feature_engineering_spark.sources import io as eio
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = _roundtrip_tmp(sf_dir, "orc")
+    eio.write_orc(d, tmp)
+    back = eio.read_orc(spark, tmp)
+    return _roundtrip_agg(back)
+
+
+@register("salted_skew_counts", """
+SELECT event_type, count(*)::BIGINT AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+""")
+def q_salted_skew_counts(spark, sf_dir):
+    """Two-phase salted aggregation vs the plain GROUP BY oracle: the
+    explicit skew pattern (partial per (key, salt), final per key —
+    operators/skew.py) must be SEMANTICALLY invisible. value is
+    quantized per row BEFORE summation (integer cents) so the two-level
+    aggregation order can't move a float sum across a rounding boundary."""
+    from ecg_feature_engineering_spark.operators import skew
+
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    salted = skew.with_salt(ev.withColumn("__cents", cents), 16,
+                            deterministic_col="event_id")
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__cents").alias("__s"))
+    return partial.groupBy("event_type").agg(
+        F.sum("__n").alias("n"),
+        F.sum("__s").alias("value_cents"))
+
+
+# =====================================================================
 # Driver certification-window ordering
 # =====================================================================
 # The round driver certifies (rows+schema+value-hash vs the DuckDB oracle)
@@ -2940,6 +3196,11 @@ QUERY_ORDER: list[str] = [
     "dup_clusters",
     "audio_decode_stats", "audio_spectral", "audio_resample",
     "audio_transcode_snr", "video_stats", "video_frame_sample",
+    # -- late-r3 batch 2: quality filters, sketches, format roundtrips,
+    #    skew demo (all oracle-backed; r4 rotates them in)
+    "gopher_quality", "pii_scrub", "dup_ngram_fraction",
+    "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
+    "orc_roundtrip", "salted_skew_counts",
 ]
 
 

@@ -2,7 +2,9 @@ from ecg_feature_engineering_spark.operators import (
     asof,
     dedup,
     joins,
+    metrics,
     similarity,
+    sketches,
     skew,
     splits,
     stats,
@@ -10,5 +12,5 @@ from ecg_feature_engineering_spark.operators import (
     windows,
 )
 
-__all__ = ["asof", "dedup", "joins", "similarity", "skew", "splits",
-           "stats", "text", "windows"]
+__all__ = ["asof", "dedup", "joins", "metrics", "similarity", "sketches",
+           "skew", "splits", "stats", "text", "windows"]

@@ -110,6 +110,149 @@ def langid_heuristic(df: DataFrame, text_col: str = "text",
     return df.withColumn(out, pred)
 
 
+# Portable PII patterns: explicit character classes only — bare \S / \b
+# differ between Java regex (Spark) and RE2 (DuckDB), so scrub counts
+# would silently diverge on exotic input. {2,} quantifiers and
+# alternation behave identically (leftmost-longest per alternative arm
+# is NOT assumed: both engines are leftmost-first here and the arms are
+# prefix-disjoint).
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_PATTERN = "https?://[A-Za-z0-9./_%-]+"
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality signals (Rae et al. 2021, public
+    filter rules): word-count bounds, mean word length bounds,
+    symbol-to-word ratio ('#' and '...'), fraction of words containing
+    an ASCII letter, and a distinct-stopword floor — composed into one
+    ``passes_gopher`` flag. All closed-form JVM expressions; thresholds
+    compare int-ratio doubles, deterministic across engines."""
+    t = F.col(text_col)
+    ws = words(t)
+    n_words = F.size(ws)
+    wl_sum = F.aggregate(F.transform(ws, lambda x: F.length(x)),
+                         F.lit(0), lambda acc, v: acc + v)
+    mean_wl = F.when(n_words > 0,
+                     wl_sum.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_symbol = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0)))
+    sym_ratio = F.when(n_words > 0,
+                       n_symbol.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha_words.cast("double") / n_words) \
+                  .otherwise(F.lit(0.0))
+    # distinct-stopword count as containment over the fixed stoplist —
+    # NOT array_intersect: intersect's dedup semantics are an engine
+    # detail, containment over a 10-element literal list is not
+    ws_lower = F.transform(ws, lambda x: F.lower(x))
+    n_stop_distinct = F.size(F.filter(
+        F.array(*[F.lit(s) for s in STOPWORDS_EN]),
+        lambda s: F.array_contains(ws_lower, s)))
+    passes = (
+        (n_words >= 3) & (n_words <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (sym_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (n_stop_distinct >= 2)
+    )
+    return df.withColumns({
+        "n_words_g": n_words.cast("long"),
+        "mean_word_len_g": mean_wl,
+        "symbol_word_ratio": sym_ratio,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_distinct": n_stop_distinct.cast("long"),
+        # null text -> every signal is NULL -> passes must be NULL-safe
+        # false (a doc with no text never passes the filter)
+        "passes_gopher": F.coalesce(passes, F.lit(False)),
+    })
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              token: str = "<PII>") -> DataFrame:
+    """PII scrubbing (C4-style public cleanup rule): count + redact
+    emails and URLs, emit the scrubbed text's md5 fingerprint so a
+    cross-engine pipeline can verify the redaction byte-for-byte without
+    shipping the text."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0)))
+    # URLs first: an email pattern can match inside a URL's userinfo but
+    # not vice versa, so scrub the longer construct before the shorter
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, URL_PATTERN, token), EMAIL_PATTERN, token)
+    return df.withColumns({
+        "n_emails": n_emails.cast("long"),
+        "n_urls": n_urls.cast("long"),
+        "scrubbed_fingerprint": F.md5(scrubbed),
+    })
+
+
+def dup_ngram_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Duplicate word-n-gram character fraction (RefinedWeb / Gopher
+    repetition signal): the fraction of n-gram characters that belong to
+    n-grams occurring >= 2 times within the document.
+
+    Distributed shape: SCAN-LOCAL — repetition is a within-document
+    quantity, so the whole computation is higher-order array expressions
+    on the row (sort the gram array, a gram occurrence is duplicated iff
+    it equals a sorted neighbor): zero shuffles, zero joins, zero
+    Python, survives any scale the scan survives. The explode -> (doc,
+    gram) aggregate shape is only needed for CROSS-document n-gram
+    analyses.
+
+    Each intermediate array is MATERIALIZED as a column before any
+    lambda references it. Referencing the building expression directly
+    inside transform/aggregate lambdas re-evaluates it PER ELEMENT
+    (measured: the inlined form re-split + re-sorted per index —
+    O(m^2 log m) per doc, 406 s for 500 docs vs ~3 s materialized).
+    CollapseProject keeps these projections apart because each array is
+    a non-cheap expression consumed more than once downstream."""
+    t = F.lower(F.col(text_col))
+    step = df.withColumn("__ws", words(t))
+    k = F.size("__ws")
+    ws = F.col("__ws")
+    step = step.withColumn(
+        "__grams",
+        F.when(k >= n, F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(n)])
+        )).otherwise(F.array().cast("array<string>")))
+    step = step.withColumn("__sg", F.array_sort("__grams"))
+    sg = F.col("__sg")
+    m = F.size(sg)
+    # occurrence i (1-based) is part of a duplicate group iff it equals
+    # the previous or next element of the sorted gram array.
+    # Neighbor probes go through lazy CASE WHEN, not a bare & — & does
+    # NOT short-circuit, and element_at/try_element_at both THROW on
+    # index 0 (probed: INVALID_INDEX_OF_ZERO), so `(i>1) &
+    # element_at(sg, i-1)...` would abort on every doc's first gram.
+    # An unmatched CASE yields NULL; NULL == x is NULL; the outer WHEN
+    # treats NULL as no-match -> 0 chars, which is the right answer at
+    # both array ends. The m>0 guard keeps sequence(1,0) (which would
+    # run DESCENDING) from ever being built for gram-less docs.
+    dup_chars = F.when(m > 0, F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            (F.element_at(sg, i)
+             == F.when(i > 1, F.element_at(sg, i - 1)))
+            | (F.element_at(sg, i)
+               == F.when(i < m, F.element_at(sg, i + 1))),
+            F.length(F.element_at(sg, i))).otherwise(F.lit(0)),
+    )).otherwise(F.lit(0))
+    tot_chars = F.aggregate(
+        sg, F.lit(0), lambda acc, g: acc + F.length(g))
+    step = step.withColumns({"__dup": dup_chars, "__tot": tot_chars})
+    frac = F.when(F.col("__tot") > 0,
+                  F.col("__dup").cast("double") / F.col("__tot")) \
+            .otherwise(F.lit(0.0))
+    return (step.withColumns({
+                "n_grams": m.cast("long"),
+                "dup_ngram_char_frac": frac,
+            }).drop("__ws", "__grams", "__sg", "__dup", "__tot"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out: str = "fingerprint") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized lowercase text.

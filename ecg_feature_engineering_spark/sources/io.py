@@ -90,6 +90,40 @@ def write_table(df: DataFrame, path: str,
     w.parquet(path)
 
 
+def read_jsonl(spark: SparkSession, path: str,
+               schema: StructType | str) -> DataFrame:
+    """Schema-locked JSON-lines scan (the interchange format LLM data
+    pipelines actually exchange). Same rule as CSV: never infer — JSON
+    inference is a full extra pass, and absent keys must deserialize to
+    typed NULLs, not drop columns."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink. Spark omits null fields per line (standard JSONL
+    producer behavior); a schema-locked read restores them as typed NULLs,
+    so write->read roundtrips exactly — including control characters,
+    which JSON string escaping preserves byte-for-byte."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning surface as parquet (predicate
+    pushdown, column pruning, partition pruning all apply)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+    """ORC sink — for warehouses standardized on ORC (Hive-lineage
+    clusters). Identical partitioning contract to `write_table`."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def with_entity_bucket(df: DataFrame, entity: str = "entity_id",
                        n_buckets: int = 256,
                        out: str = "entity_bucket") -> DataFrame:

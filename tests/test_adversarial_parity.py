@@ -116,6 +116,10 @@ def hostile_docs_dir(spark, tmp_path_factory):
                  chain + " iota", chain + " kappa", chain + " iota kappa"],
         "lang": ["en"] * 13,
     })
+    # source/n_chars: the quality/sketch/roundtrip queries group and
+    # checksum on these; doc 8 (NULL text) gets NULL n_chars
+    docs["source"] = [f"s{i % 3}" for i in range(13)]
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
     spark.createDataFrame(docs).write.mode("overwrite") \
         .parquet(f"{root}/documents.parquet")
     return str(root)
@@ -153,6 +157,12 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         "dedup_exact", "exact_dup_groups", "ngram_jaccard",
         "simhash_fingerprints", "simhash_near_dups", "minhash_lsh",
         "hash_split", "dup_clusters",
+        # late-r3 batch 2: quality filters, sketches, roundtrips — the
+        # whitespace/NULL/empty classes are exactly where their
+        # tokenizer/regex/count-skipping contracts can diverge
+        "gopher_quality", "pii_scrub", "dup_ngram_fraction",
+        "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
+        "orc_roundtrip",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3
@@ -205,6 +215,9 @@ def test_null_value_parity(spark, duck, nulls_dir):
         "basic_stats", "mad", "autocorr", "cdf_density", "nan_scrub",
         "rolling_median3", "session_aggs", "scale_input", "lag_diffs",
         "ffill", "crossing_count", "zigzag",
+        # salted two-phase agg: NULL values must vanish from the cents
+        # sum identically in both phases and in the plain-SQL oracle
+        "salted_skew_counts",
     ], nulls_dir)
 
 

@@ -1,0 +1,184 @@
+"""Late-r3 batch-2 operators vs independent pure-Python oracles:
+Gopher quality filter, PII scrub, duplicate-n-gram fraction, sketches
+with exactness certificates, JSONL/ORC roundtrips, salted aggregation.
+
+The corpus is deliberately hostile: exotic whitespace, empty/NULL text,
+planted PII, planted repetition — the classes the driver's testdata
+never exercises (see tests/test_adversarial_parity.py for the
+engine-vs-DuckDB replays of the same queries)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ecg_feature_engineering_spark.operators import sketches, skew, text
+
+DOC_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
+DOCS = [
+    (0, "the cat and the dog sat on a mat for fun", "en", "s0"),
+    (1, "spark spark spark spark spark spark", "en", "s0"),  # repetitive
+    (2, "", "en", "s0"),
+    (3, None, "en", "s0"),
+    (4, "\tthe\x0bquick\fbrown\nfox is of it\r", "en", "s1"),
+    (5, "### ### ...... #", "en", "s1"),  # symbol-heavy
+    (6, "mail me at a.b+c@ex-ample.org now", "en", "s1"),
+    (7, "see https://ex.org/a_b%2c and http://e.co/x", "en", "s1"),
+    (8, "a b c a b c a b c d e f", "en", "s2"),  # dup 3-grams
+    (9, "12 34 56 78 90 11 22 33", "en", "s2"),  # no alpha words
+    (10, "the and of to a in is it for on words here", "en", "s2"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [(i, t, lang, src, len(t) if t is not None else None)
+            for i, t, lang, src in DOCS]
+    return spark.createDataFrame(rows, DOC_SCHEMA).cache()
+
+
+def _words(t):
+    return [w for w in re.split(r"[ \t\n\x0B\f\r]+", t) if w] if t else []
+
+
+def test_gopher_quality_matches_python(docs_df):
+    got = text.gopher_quality(docs_df).toPandas().set_index("doc_id")
+    for i, t, _, _ in DOCS:
+        ws = _words(t)
+        n = len(ws)
+        row = got.loc[i]
+        if t is None:
+            assert pd.isna(row["n_words_g"])
+        else:
+            assert row["n_words_g"] == n
+        mwl = sum(map(len, ws)) / n if n else 0.0
+        sym = len(re.findall(r"#|\.\.\.", t)) / n if n else 0.0
+        alpha = (sum(bool(re.search("[A-Za-z]", w)) for w in ws) / n
+                 if n else 0.0)
+        nstop = len({w.lower() for w in ws} & set(text.STOPWORDS_EN))
+        passes = (3 <= n <= 100_000 and 3.0 <= mwl <= 10.0 and sym <= 0.1
+                  and alpha >= 0.8 and nstop >= 2)
+        assert np.isclose(row["mean_word_len_g"], mwl)
+        assert np.isclose(row["symbol_word_ratio"], sym)
+        assert np.isclose(row["alpha_word_frac"], alpha)
+        assert row["n_stop_distinct"] == nstop
+        assert bool(row["passes_gopher"]) == passes, (i, t)
+    # the corpus must exercise BOTH flag outcomes
+    assert got["passes_gopher"].any() and not got["passes_gopher"].all()
+
+
+def test_pii_scrub_counts_and_redaction(docs_df):
+    got = text.pii_scrub(docs_df).toPandas().set_index("doc_id")
+    em, ur = re.compile(text.EMAIL_PATTERN), re.compile(text.URL_PATTERN)
+    import hashlib
+
+    for i, t, _, _ in DOCS:
+        row = got.loc[i]
+        if t is None:
+            assert pd.isna(row["scrubbed_fingerprint"])
+            continue
+        assert row["n_emails"] == len(em.findall(t)), (i, t)
+        assert row["n_urls"] == len(ur.findall(t)), (i, t)
+        scrubbed = em.sub("<PII>", ur.sub("<PII>", t))
+        assert row["scrubbed_fingerprint"] == hashlib.md5(
+            scrubbed.encode()).hexdigest()
+    assert got.loc[6, "n_emails"] == 1 and got.loc[7, "n_urls"] == 2
+
+
+def test_dup_ngram_fraction_matches_python(docs_df):
+    got = text.dup_ngram_stats(docs_df).toPandas().set_index("doc_id")
+    assert len(got) == len(DOCS)  # short/NULL docs survive the join back
+    for i, t, _, _ in DOCS:
+        ws = _words(t.lower() if t else t)
+        grams = [" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)]
+        from collections import Counter
+
+        cnt = Counter(grams)
+        tot = sum(c * len(g) for g, c in cnt.items())
+        dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+        row = got.loc[i]
+        assert row["n_grams"] == len(grams)
+        assert np.isclose(row["dup_ngram_char_frac"],
+                          dup / tot if tot else 0.0), (i, t)
+    # planted repetition must rank above natural text
+    assert got.loc[1, "dup_ngram_char_frac"] == 1.0
+    assert got.loc[8, "dup_ngram_char_frac"] > 0.5
+    assert got.loc[0, "dup_ngram_char_frac"] == 0.0
+
+
+def test_distinct_certificate(docs_df):
+    out = sketches.distinct_with_certificate(
+        docs_df, "source", "text").toPandas().set_index("source")
+    # exact arm: NULL text excluded, '' still counts, duplicates collapse
+    expect = {"s0": 3, "s1": 4, "s2": 3}
+    for src, n in expect.items():
+        assert out.loc[src, "n_exact"] == n
+    assert out["within_rel_err"].all()
+
+
+def test_quantiles_exact_type7(docs_df):
+    out = sketches.quantiles_exact(
+        docs_df, "source", "n_chars").toPandas().set_index("source")
+    for src in ("s0", "s1", "s2"):
+        vals = [len(t) for _, t, _, s in DOCS if s == src and t is not None]
+        want = np.quantile(np.array(vals, dtype=float), [0.25, 0.5, 0.75])
+        assert np.allclose(
+            out.loc[src, ["p25", "p50", "p75"]].astype(float), want), src
+    assert out["approx_p50_is_element"].all()
+    # count(col) skips the NULL n_chars row in s0
+    assert {s: int(out.loc[s, "n"]) for s in ("s0", "s1", "s2")} \
+        == {"s0": 3, "s1": 4, "s2": 3}
+
+
+def test_quantiles_rejects_non_binary_prob(docs_df):
+    with pytest.raises(ValueError):
+        sketches.quantiles_exact(docs_df, "source", "n_chars",
+                                 probs=(0.1,))
+
+
+def test_jsonl_roundtrip_exact(spark, docs_df, tmp_path):
+    from ecg_feature_engineering_spark.sources import io as eio
+
+    p = str(tmp_path / "docs_jsonl")
+    eio.write_jsonl(docs_df, p)
+    back = eio.read_jsonl(spark, p, docs_df.schema)
+    a = docs_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_orc_roundtrip_exact(spark, docs_df, tmp_path):
+    from ecg_feature_engineering_spark.sources import io as eio
+
+    p = str(tmp_path / "docs_orc")
+    eio.write_orc(docs_df, p)
+    back = eio.read_orc(spark, p)
+    a = docs_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = skew.salted_count(ev, ["event_type"], unique_col="event_id") \
+        .toPandas().set_index("event_type")["n"]
+    want = ev.groupBy("event_type").count().toPandas() \
+        .set_index("event_type")["count"]
+    assert got.sort_index().equals(want.sort_index())
