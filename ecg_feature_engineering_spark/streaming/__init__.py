@@ -1,3 +1,3 @@
-from ecg_feature_engineering_spark.streaming import sessions
+from ecg_feature_engineering_spark.streaming import asof, dedup, sessions
 
-__all__ = ["sessions"]
+__all__ = ["asof", "dedup", "sessions"]
