@@ -3141,6 +3141,53 @@ def q_salted_skew_counts(spark, sf_dir):
         F.sum("__s").alias("value_cents"))
 
 
+@register("time_features", """
+WITH s AS (SELECT event_id, user_id,
+             epoch_us(ts) // 1000000 AS sec FROM events)
+SELECT event_id, user_id,
+  sec // 86400 AS epoch_day,
+  (sec // 3600) % 24 AS hour_of_day,
+  (sec // 60) % 60 AS minute_of_hour,
+  ((sec // 86400 + 3) % 7) + 1 AS dow_iso,
+  (((sec // 86400 + 3) % 7) + 1 >= 6) AS is_weekend
+FROM s
+""")
+def q_time_features(spark, sf_dir):
+    """Calendar features from pure integer epoch arithmetic — identical
+    on any session time zone and any engine (F.hour/from_unixtime would
+    read the session tz; see windows.ntz_epoch_seconds notes)."""
+    ev = _events(spark, sf_dir)
+    return windows.time_features(ev, "ts").select(
+        "event_id", "user_id", "epoch_day", "hour_of_day",
+        "minute_of_hour", "dow_iso", "is_weekend")
+
+
+@register("winsorize_events", """
+WITH q AS (SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS value_q FROM events),
+b AS (SELECT user_id,
+        quantile_cont(value_q, 0.125) AS w_lo,
+        quantile_cont(value_q, 0.875) AS w_hi
+      FROM q GROUP BY user_id)
+SELECT q.event_id, q.user_id, q.value_q,
+  round(b.w_lo, 6) AS w_lo, round(b.w_hi, 6) AS w_hi,
+  round(CASE WHEN q.value_q IS NOT NULL
+        THEN least(greatest(q.value_q::DOUBLE, b.w_lo), b.w_hi) / 100.0
+        END, 6) AS value_winsorized
+FROM q LEFT JOIN b USING (user_id)
+""")
+def q_winsorize_events(spark, sf_dir):
+    """Per-entity quantile winsorization on the integer-cents grid with
+    binary-exact probabilities (1/8, 7/8) — interpolation and clamp are
+    IEEE-exact cross-engine. NULL values stay NULL (guarded clamp:
+    least/greatest would otherwise silently rewrite NULL to the bound)."""
+    ev = _events(spark, sf_dir)
+    out = stats.winsorize(ev, "value", by="user_id")
+    out = out.select("event_id", "user_id", "value_q", "w_lo", "w_hi",
+                     "value_winsorized")
+    return _round(out, ["w_lo", "w_hi", "value_winsorized"])
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -3200,7 +3247,8 @@ QUERY_ORDER: list[str] = [
     #    skew demo (all oracle-backed; r4 rotates them in)
     "gopher_quality", "pii_scrub", "dup_ngram_fraction",
     "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
-    "orc_roundtrip", "salted_skew_counts",
+    "orc_roundtrip", "salted_skew_counts", "time_features",
+    "winsorize_events",
 ]
 
 

@@ -591,3 +591,41 @@ def sample_entropy_relational(df: DataFrame, value: str = "value",
             .when(F.coalesce(am, F.lit(0)) == 0, -1.0)
             .otherwise(-F.log(am / bm)).alias(f"sampen{m}"))
     return g.select(*by, *out_cols)
+
+
+def winsorize(df: DataFrame, value: str, by="entity_id",
+              lo_p: float = 0.125, hi_p: float = 0.875,
+              quantize: float = 100.0) -> DataFrame:
+    """Per-group quantile winsorization (outlier clipping, the standard
+    robust-feature preprocessing step): clamp ``value`` to its group's
+    [lo_p, hi_p] type-7 quantiles.
+
+    Parity-exact construction: values are quantized to an integer grid
+    (cents by default) FIRST, and the probabilities must sit on the
+    binary grid (k/4096) — then the quantile interpolation and the
+    clamp are IEEE-exact identically on every engine (see
+    sketches.quantiles_exact). Bounds come back via a broadcast join
+    (group cardinality-sized, never data-sized); at a group count past
+    broadcast size, drop the hint and let AQE pick the join.
+
+    NULL values stay NULL: least/greatest SKIP nulls in both Spark and
+    DuckDB, so an unguarded clamp would silently rewrite NULL to the
+    lower bound."""
+    for p in (lo_p, hi_p):
+        if p * 4096 != int(p * 4096):
+            raise ValueError(f"probability {p} is not binary-exact")
+    q = F.round(F.col(value) * quantize).cast("long")
+    with_q = df.withColumn("__q", q)
+    by_cols = [by] if isinstance(by, str) else list(by)
+    bounds = with_q.groupBy(*by_cols).agg(
+        F.percentile(F.col("__q"), F.lit(lo_p)).alias("w_lo"),
+        F.percentile(F.col("__q"), F.lit(hi_p)).alias("w_hi"),
+    )
+    joined = with_q.join(F.broadcast(bounds), on=by_cols, how="left")
+    clamped = F.when(
+        F.col("__q").isNotNull(),
+        F.least(F.greatest(F.col("__q").cast("double"), F.col("w_lo")),
+                F.col("w_hi")))
+    return (joined
+            .withColumn(f"{value}_winsorized", clamped / F.lit(quantize))
+            .withColumnRenamed("__q", f"{value}_q"))

@@ -255,3 +255,24 @@ def sliding_segments(
                                                     hi.cast("long"))))
         .drop("__i")
     )
+
+
+def time_features(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Calendar features for training data (hour-of-day, day-of-week,
+    weekend flag) computed with PURE INTEGER EPOCH ARITHMETIC — never
+    from_unixtime/hour()/dayofweek(), which read the session time zone
+    and would silently shift every feature on a non-UTC cluster (the
+    same hazard class ntz_epoch_seconds guards; a tz-dependent calendar
+    feature also breaks cross-engine parity). dow_iso: 1=Mon..7=Sun
+    (1970-01-01 was a Thursday, hence the +3)."""
+    secs = F.floor(epoch_seconds(df, ts_col)).cast("long")
+    days = F.floor(secs / F.lit(86400.0)).cast("long")
+    return df.withColumns({
+        "epoch_day": days,
+        "hour_of_day": F.pmod(F.floor(secs / F.lit(3600.0)).cast("long"),
+                              F.lit(24)),
+        "minute_of_hour": F.pmod(F.floor(secs / F.lit(60.0)).cast("long"),
+                                 F.lit(60)),
+        "dow_iso": F.pmod(days + 3, F.lit(7)) + 1,
+        "is_weekend": F.pmod(days + 3, F.lit(7)) + 1 >= 6,
+    })

@@ -182,3 +182,53 @@ def test_salted_count_matches_plain(spark, sf_dir):
     want = ev.groupBy("event_type").count().toPandas() \
         .set_index("event_type")["count"]
     assert got.sort_index().equals(want.sort_index())
+
+
+def test_time_features_known_timestamps(spark):
+    from ecg_feature_engineering_spark.operators import windows as W
+
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(1970, 1, 1, 0, 0, 0)),     # Thu, day 0
+        (2, datetime(2024, 6, 15, 13, 37, 42)),  # Saturday
+        (3, datetime(2024, 6, 17, 0, 0, 0)),     # Monday midnight
+        (4, datetime(1999, 12, 31, 23, 59, 59)),  # Friday
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    got = W.time_features(df, "ts").toPandas().set_index("event_id")
+    assert got.loc[1, ["epoch_day", "hour_of_day", "dow_iso"]].tolist() \
+        == [0, 0, 4]
+    assert got.loc[2, ["hour_of_day", "minute_of_hour", "dow_iso"]] \
+        .tolist() == [13, 37, 6]
+    assert bool(got.loc[2, "is_weekend"]) is True
+    assert got.loc[3, ["hour_of_day", "dow_iso"]].tolist() == [0, 1]
+    assert bool(got.loc[3, "is_weekend"]) is False
+    assert got.loc[4, ["hour_of_day", "minute_of_hour", "dow_iso"]] \
+        .tolist() == [23, 59, 5]
+
+
+def test_winsorize_matches_numpy(spark, sf_dir, events_pdf):
+    from ecg_feature_engineering_spark.operators import stats as S
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value")
+    got = S.winsorize(ev, "value", by="user_id").toPandas() \
+        .set_index("event_id")
+    for uid, grp in events_pdf.groupby("user_id"):
+        cents = np.round(grp["value"].to_numpy() * 100)
+        lo, hi = np.quantile(cents, [0.125, 0.875])
+        for eid, v in zip(grp["event_id"], cents):
+            w = got.loc[eid, "value_winsorized"]
+            assert np.isclose(w, np.clip(v, lo, hi) / 100.0), (uid, eid)
+    # clipping must actually fire somewhere
+    assert (got["value_winsorized"] * 100
+            != got["value_q"]).sum() > 0
+
+
+def test_winsorize_rejects_non_binary_prob(spark, sf_dir):
+    from ecg_feature_engineering_spark.operators import stats as S
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        S.winsorize(ev, "value", by="user_id", lo_p=0.05)
