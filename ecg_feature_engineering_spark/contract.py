@@ -3188,6 +3188,70 @@ def q_winsorize_events(spark, sf_dir):
     return _round(out, ["w_lo", "w_hi", "value_winsorized"])
 
 
+# Generated EWMA oracle: the SAME fixed-order coalesce(+) chain the
+# engine builds, weights emitted as ::DOUBLE casts (a bare 0.25 literal
+# is DECIMAL in DuckDB — decimal arithmetic would not be IEEE-identical)
+_EWMA_W = [0.5 * 0.5 ** j for j in range(8)]
+_EWMA_LAGS = ",\n    ".join(
+    f"lag(value, {j}) OVER w AS l{j}" for j in range(8))
+_EWMA_NUM = "\n    + ".join(
+    f"coalesce(CASE WHEN l{j} IS NOT NULL THEN l{j} * {w!r}::DOUBLE END,"
+    f" 0.0::DOUBLE)" for j, w in enumerate(_EWMA_W))
+_EWMA_DEN = "\n    + ".join(
+    f"coalesce(CASE WHEN l{j} IS NOT NULL THEN {w!r}::DOUBLE END,"
+    f" 0.0::DOUBLE)" for j, w in enumerate(_EWMA_W))
+
+
+@register("ewma_events", f"""
+WITH l AS (
+  SELECT event_id, user_id,
+    {_EWMA_LAGS}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT event_id, user_id,
+    {_EWMA_NUM} AS num,
+    {_EWMA_DEN} AS den
+  FROM l)
+SELECT event_id, user_id,
+  round(CASE WHEN den > 0 THEN num / den END, 6) AS ewma
+FROM s
+""")
+def q_ewma_events(spark, sf_dir):
+    """Truncated EWMA (alpha=1/2, window 8) — leakage-safe smoothing as
+    a pure Window expression; numerator/denominator are identical
+    fixed-order + chains in engine and oracle, so the float sums match
+    bit-for-bit on any value distribution."""
+    ev = _events(spark, sf_dir)
+    out = windows.ewma(ev, "value", by="user_id",
+                       order=("ts", "event_id"), alpha=0.5, window=8)
+    return _round(out.select("event_id", "user_id", "ewma"), ["ewma"])
+
+
+@register("rank_features", """
+SELECT event_id, user_id,
+  round(cume_dist() OVER (PARTITION BY user_id
+        ORDER BY value NULLS FIRST), 6) AS value_cume,
+  round(percent_rank() OVER (PARTITION BY user_id
+        ORDER BY value NULLS FIRST), 6) AS value_pct_rank,
+  row_number() OVER (PARTITION BY user_id
+        ORDER BY value NULLS FIRST, event_id) AS value_rank
+FROM events
+""")
+def q_rank_features(spark, sf_dir):
+    """Rank-transform features (outlier-immune model-input
+    normalization): cume_dist / percent_rank are exact int-ratio
+    doubles. NULL ordering pinned NULLS FIRST on both sides (Spark's
+    ascending default is nulls-first, DuckDB's is nulls-LAST)."""
+    ev = _events(spark, sf_dir)
+    out = windows.rank_transform(ev, "value", by="user_id",
+                                 tiebreak="event_id")
+    return _round(
+        out.select("event_id", "user_id", "value_cume", "value_pct_rank",
+                   "value_rank"),
+        ["value_cume", "value_pct_rank"])
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -3248,7 +3312,7 @@ QUERY_ORDER: list[str] = [
     "gopher_quality", "pii_scrub", "dup_ngram_fraction",
     "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
     "orc_roundtrip", "salted_skew_counts", "time_features",
-    "winsorize_events",
+    "winsorize_events", "ewma_events", "rank_features",
 ]
 
 

@@ -276,3 +276,65 @@ def time_features(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         "dow_iso": F.pmod(days + 3, F.lit(7)) + 1,
         "is_weekend": F.pmod(days + 3, F.lit(7)) + 1 >= 6,
     })
+
+
+def ewma(df: DataFrame, value: str, by="user_id", order=("ts", "event_id"),
+         alpha: float = 0.5, window: int = 8,
+         out: str = "ewma") -> DataFrame:
+    """Truncated exponential moving average — the leakage-safe smoothing
+    feature (frame ends at currentRow): ewma_t = Σ_j w_j·x_{t-j} / Σ_j w_j
+    over the last ``window`` observations, w_j = alpha·(1-alpha)^j, with
+    the denominator summing only the weights of NON-NULL lags (heads and
+    null-holed series renormalize instead of biasing toward 0).
+
+    Exactness contract: alpha must sit on the binary grid (k/4096) so
+    every weight is an exact double, and both numerator and denominator
+    are written as one fixed-order chain of +'s — an oracle writing the
+    same chain reproduces the sum bit-for-bit. The infinite-tail EWMA
+    recurrence needs O(n) sequential state per entity (an Arrow kernel
+    job); the truncated form stays a pure Window expression, and with
+    alpha=0.5 the dropped tail weight is 2^-window (~0.4% at 8)."""
+    if alpha * 4096 != int(alpha * 4096):
+        raise ValueError(f"alpha {alpha} is not binary-exact")
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    order = [order] if isinstance(order, str) else list(order)
+    w = entity_window(by, order)
+    weights = [alpha * (1 - alpha) ** j for j in range(window)]
+    terms = [F.lag(F.col(value), j).over(w) for j in range(window)]
+    # EVERY term is coalesced before entering the chain — a single NULL
+    # lag (including the current row's own value) would otherwise poison
+    # the whole left-to-right sum (NULL + x = NULL)
+    num = None
+    den = None
+    for wt, term in zip(weights, terms):
+        contrib = F.coalesce(
+            F.when(term.isNotNull(), term * F.lit(wt)), F.lit(0.0))
+        mass = F.coalesce(
+            F.when(term.isNotNull(), F.lit(wt)), F.lit(0.0))
+        num = contrib if num is None else num + contrib
+        den = mass if den is None else den + mass
+    return df.withColumn(
+        out, F.when(den > 0, num / den))
+
+
+def rank_transform(df: DataFrame, value: str, by="user_id",
+                   tiebreak: str = "event_id") -> DataFrame:
+    """Rank-transform features (the classic model-input normalization
+    that is outlier-immune): within-group cumulative distribution
+    (cume_dist), percent_rank, and a deterministic dense ordinal.
+    cume_dist/percent_rank are exact int-ratio doubles — cross-engine
+    parity-safe on ANY value distribution, ties included.
+
+    NULL ordering is pinned NULLS FIRST explicitly: Spark's ascending
+    default is nulls-first but DuckDB's is nulls-LAST, so an unpinned
+    ORDER BY silently ranks the two engines differently on null-holed
+    data."""
+    v = F.col(value).asc_nulls_first()
+    w_val = Window.partitionBy(by).orderBy(v)
+    w_det = Window.partitionBy(by).orderBy(v, F.col(tiebreak))
+    return df.withColumns({
+        f"{value}_cume": F.cume_dist().over(w_val),
+        f"{value}_pct_rank": F.percent_rank().over(w_val),
+        f"{value}_rank": F.row_number().over(w_det).cast("long"),
+    })

@@ -139,6 +139,9 @@ def test_tie_order_parity(spark, duck, ties_dir):
         # pure function of ts (row-identical for tied rows), and the
         # winsorize quantile grid hits repeated order statistics
         "time_features", "winsorize_events",
+        # ewma's (ts, event_id) lag order and rank peers both hinge on
+        # the tie-break contract
+        "ewma_events", "rank_features",
     ], ties_dir)
 
 
@@ -225,6 +228,9 @@ def test_null_value_parity(spark, duck, nulls_dir):
         # winsorize: NULL values must stay NULL through the guarded
         # clamp (least/greatest silently skip NULLs in both engines)
         "winsorize_events",
+        # ewma renormalizes over null holes; rank pins NULLS FIRST
+        # (Spark's asc default) against DuckDB's nulls-LAST default
+        "ewma_events", "rank_features",
     ], nulls_dir)
 
 

@@ -232,3 +232,54 @@ def test_winsorize_rejects_non_binary_prob(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     with pytest.raises(ValueError):
         S.winsorize(ev, "value", by="user_id", lo_p=0.05)
+
+
+def test_ewma_matches_python_loop(spark, sf_dir, events_pdf):
+    from ecg_feature_engineering_spark.operators import windows as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "value")
+    got = W.ewma(ev, "value", by="user_id", order=("ts", "event_id"),
+                 alpha=0.5, window=8).toPandas().set_index("event_id")
+    wts = [0.5 * 0.5 ** j for j in range(8)]
+    for _, grp in events_pdf.groupby("user_id"):
+        vals = grp["value"].tolist()
+        for t, eid in enumerate(grp["event_id"]):
+            num = den = 0.0
+            for j, w in enumerate(wts):
+                if t - j >= 0 and vals[t - j] is not None \
+                        and not pd.isna(vals[t - j]):
+                    num += vals[t - j] * w
+                    den += w
+            want = num / den if den > 0 else None
+            if want is None:
+                assert pd.isna(got.loc[eid, "ewma"])
+            else:
+                assert np.isclose(got.loc[eid, "ewma"], want), eid
+
+
+def test_ewma_rejects_bad_alpha(spark, sf_dir):
+    from ecg_feature_engineering_spark.operators import windows as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        W.ewma(ev, "value", alpha=0.3)
+    with pytest.raises(ValueError):
+        W.ewma(ev, "value", alpha=0.0)
+
+
+def test_rank_transform_matches_pandas(spark, sf_dir, events_pdf):
+    from ecg_feature_engineering_spark.operators import windows as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value")
+    got = W.rank_transform(ev, "value", by="user_id") \
+        .toPandas().set_index("event_id")
+    for _, grp in events_pdf.groupby("user_id"):
+        n = len(grp)
+        # cume_dist = (# peers <=)/n; percent_rank = (rank-1)/(n-1)
+        cume = grp["value"].rank(method="max") / n
+        prank = (grp["value"].rank(method="min") - 1) / max(n - 1, 1)
+        for eid, c, p in zip(grp["event_id"], cume, prank):
+            assert np.isclose(got.loc[eid, "value_cume"], c), eid
+            assert np.isclose(got.loc[eid, "value_pct_rank"], p), eid
