@@ -3146,6 +3146,9 @@ WITH s AS (SELECT event_id, user_id,
              epoch_us(ts) // 1000000 AS sec FROM events)
 SELECT event_id, user_id,
   sec // 86400 AS epoch_day,
+  year(DATE '1970-01-01' + ((sec // 86400)::INT))::BIGINT AS year,
+  month(DATE '1970-01-01' + ((sec // 86400)::INT))::BIGINT AS month,
+  day(DATE '1970-01-01' + ((sec // 86400)::INT))::BIGINT AS day_of_month,
   (sec // 3600) % 24 AS hour_of_day,
   (sec // 60) % 60 AS minute_of_hour,
   ((sec // 86400 + 3) % 7) + 1 AS dow_iso,
@@ -3153,13 +3156,15 @@ SELECT event_id, user_id,
 FROM s
 """)
 def q_time_features(spark, sf_dir):
-    """Calendar features from pure integer epoch arithmetic — identical
-    on any session time zone and any engine (F.hour/from_unixtime would
-    read the session tz; see windows.ntz_epoch_seconds notes)."""
+    """Calendar features from pure integer epoch arithmetic plus
+    tz-free DATE parts — identical on any session time zone and any
+    engine (F.hour/from_unixtime would read the session tz; see
+    windows.ntz_epoch_seconds notes)."""
     ev = _events(spark, sf_dir)
     return windows.time_features(ev, "ts").select(
-        "event_id", "user_id", "epoch_day", "hour_of_day",
-        "minute_of_hour", "dow_iso", "is_weekend")
+        "event_id", "user_id", "epoch_day", "year", "month",
+        "day_of_month", "hour_of_day", "minute_of_hour", "dow_iso",
+        "is_weekend")
 
 
 @register("winsorize_events", """

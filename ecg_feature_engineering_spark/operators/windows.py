@@ -264,11 +264,23 @@ def time_features(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     and would silently shift every feature on a non-UTC cluster (the
     same hazard class ntz_epoch_seconds guards; a tz-dependent calendar
     feature also breaks cross-engine parity). dow_iso: 1=Mon..7=Sun
-    (1970-01-01 was a Thursday, hence the +3)."""
+    (1970-01-01 was a Thursday, hence the +3).
+
+    Year/month/day go through DATE arithmetic (epoch day added to the
+    epoch DATE literal): DATE carries no time zone in either engine, so
+    year()/month()/day() on it are tz-free — unlike the same functions
+    on a TIMESTAMP. Cast to long: Spark's date parts are int32, DuckDB's
+    are BIGINT, and the driver's Arrow schema gate sees that."""
+    import datetime as _dt
+
     secs = F.floor(epoch_seconds(df, ts_col)).cast("long")
     days = F.floor(secs / F.lit(86400.0)).cast("long")
+    d = F.date_add(F.lit(_dt.date(1970, 1, 1)), days.cast("int"))
     return df.withColumns({
         "epoch_day": days,
+        "year": F.year(d).cast("long"),
+        "month": F.month(d).cast("long"),
+        "day_of_month": F.dayofmonth(d).cast("long"),
         "hour_of_day": F.pmod(F.floor(secs / F.lit(3600.0)).cast("long"),
                               F.lit(24)),
         "minute_of_hour": F.pmod(F.floor(secs / F.lit(60.0)).cast("long"),

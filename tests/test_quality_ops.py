@@ -199,6 +199,12 @@ def test_time_features_known_timestamps(spark):
     got = W.time_features(df, "ts").toPandas().set_index("event_id")
     assert got.loc[1, ["epoch_day", "hour_of_day", "dow_iso"]].tolist() \
         == [0, 0, 4]
+    assert got.loc[1, ["year", "month", "day_of_month"]].tolist() \
+        == [1970, 1, 1]
+    assert got.loc[2, ["year", "month", "day_of_month"]].tolist() \
+        == [2024, 6, 15]
+    assert got.loc[4, ["year", "month", "day_of_month"]].tolist() \
+        == [1999, 12, 31]
     assert got.loc[2, ["hour_of_day", "minute_of_hour", "dow_iso"]] \
         .tolist() == [13, 37, 6]
     assert bool(got.loc[2, "is_weekend"]) is True
