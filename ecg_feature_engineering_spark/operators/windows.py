@@ -313,21 +313,27 @@ def ewma(df: DataFrame, value: str, by="user_id", order=("ts", "event_id"),
     order = [order] if isinstance(order, str) else list(order)
     w = entity_window(by, order)
     weights = [alpha * (1 - alpha) ** j for j in range(window)]
-    terms = [F.lag(F.col(value), j).over(w) for j in range(window)]
+    # All lags land in ONE withColumns -> one Window node -> one
+    # exchange+sort. Referencing .over(w) terms from inside the num/den
+    # arithmetic instead makes ExtractWindowExpressions split them into
+    # TWO Window nodes, each paying its own Exchange+Sort (audited).
+    step = df.withColumns({
+        f"__l{j}": F.lag(F.col(value), j).over(w) for j in range(window)})
     # EVERY term is coalesced before entering the chain — a single NULL
     # lag (including the current row's own value) would otherwise poison
     # the whole left-to-right sum (NULL + x = NULL)
     num = None
     den = None
-    for wt, term in zip(weights, terms):
+    for j, wt in enumerate(weights):
+        term = F.col(f"__l{j}")
         contrib = F.coalesce(
             F.when(term.isNotNull(), term * F.lit(wt)), F.lit(0.0))
         mass = F.coalesce(
             F.when(term.isNotNull(), F.lit(wt)), F.lit(0.0))
         num = contrib if num is None else num + contrib
         den = mass if den is None else den + mass
-    return df.withColumn(
-        out, F.when(den > 0, num / den))
+    return (step.withColumn(out, F.when(den > 0, num / den))
+                .drop(*[f"__l{j}" for j in range(window)]))
 
 
 def rank_transform(df: DataFrame, value: str, by="user_id",

@@ -1,0 +1,82 @@
+"""Physical-plan contracts: the shuffle/Python-stage counts PERF.md
+claims are the engine's scale story — this suite pins them so a future
+edit that silently adds an exchange (or drops a kernel onto the
+driver) fails CI instead of surfacing as a 100 TB regression.
+
+Counts are taken from the EXECUTED plan string (post-AQE). They are
+environment-pinned (Spark 4.1, local mode): if a Spark upgrade moves a
+count, the assertion failing is the point — re-audit, then re-pin."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ecg_feature_engineering_spark import contract
+
+
+def _counts(df):
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==" —
+    # counting the raw string double-counts every node
+    p = p.split("== Initial Plan ==")[0]
+    return {
+        # data-moving shuffles only: BroadcastExchange is cheap by design
+        "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning",
+                                   p)),
+        "python": len(re.findall(
+            r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+            r"|BatchEvalPython", p)),
+        "cartesian": len(re.findall(r"CartesianProduct", p)),
+    }
+
+
+@pytest.mark.parametrize("name,max_shuffles,max_python", [
+    # scan-local text family: ZERO shuffles, zero Python
+    ("gopher_quality", 0, 0),
+    ("pii_scrub", 0, 0),
+    ("dup_ngram_fraction", 0, 0),
+    ("time_features", 0, 0),
+    ("token_counts", 0, 0),
+    ("langid", 0, 0),
+    # one entity shuffle shared by every window term
+    ("ewma_events", 1, 0),
+    ("lag_diffs", 1, 0),
+    ("sessionize", 1, 0),
+    ("rank_features", 1, 0),
+])
+def test_query_shuffle_budget(spark, sf_dir, name, max_shuffles,
+                              max_python):
+    contract.ensure_workers_can_import(spark)
+    c = _counts(contract.QUERY_BUILDERS[name](spark, sf_dir))
+    assert c["shuffles"] <= max_shuffles, c
+    assert c["python"] <= max_python, c
+    assert c["cartesian"] == 0, c
+
+
+def test_image_decode_is_shuffle_free(spark, sf_dir):
+    """The payload kernel rides the scan partitions: decode at any corpus
+    size must move ZERO rows between executors before the digest agg."""
+    contract.ensure_workers_can_import(spark)
+    df = contract.QUERY_BUILDERS["image_decode_stats"](spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # everything upstream of the final per-fmt digest aggregation must be
+    # exchange-free: the only allowed shuffle ships digest partials
+    kernel_side = p.split("Exchange hashpartitioning")[-1]
+    assert "MapInPandas" in kernel_side or "ArrowEvalPython" in kernel_side
+
+
+def test_flagship_shuffle_budget(spark, sf_dir):
+    """PERF.md's headline claim: both as-of joins fused into ONE
+    shuffle+sort (asof_join_many), 2 data shuffles total, no cartesian,
+    no Python off the payload/digest path."""
+    contract.ensure_workers_can_import(spark)
+    from ecg_feature_engineering_spark.plans import flagship as fp
+
+    out = fp.flagship(spark, sf_dir, n_images=120)
+    c = _counts(out)
+    assert c["shuffles"] <= 3, c
+    assert c["cartesian"] == 0, c
