@@ -3257,6 +3257,55 @@ def q_rank_features(spark, sf_dir):
         ["value_cume", "value_pct_rank"])
 
 
+@register("embedding_centroids", """
+WITH x AS (
+  -- ::DOUBLE on BOTH operands: a bare 1000000.0 literal is DECIMAL and
+  -- FLOAT * DECIMAL multiplies in float32 here (measured: 103 of 640
+  -- group sums off by 1-2 without the casts)
+  SELECT label, i AS dim, embedding[i + 1]::DOUBLE AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i))
+SELECT label, dim, count(v)::BIGINT AS n,
+  CAST(sum(CAST(floor(v * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS qsum,
+  -- UNROUNDED: qsum and n*1e6 are exact-in-double integers, so the
+  -- division is bit-identical across engines; round(,6) would sit ON
+  -- the quotient's decimal grid and trip Spark's shortest-decimal
+  -- rounding (measured 2/640 ties)
+  CAST(sum(CAST(floor(v * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT)
+    / (count(v) * 1000000.0::DOUBLE) AS centroid
+FROM x GROUP BY label, dim
+""")
+def q_embedding_centroids(spark, sf_dir):
+    """Per-class embedding centroids (the mean-pool / drift-monitoring
+    primitive): posexplode to (label, dim) -> one hash aggregate with
+    map-side partials. Each float is quantized to an exact integer
+    BEFORE the cross-row sum (the _digest_chk rule) so the centroid is
+    aggregation-order-free — a raw float mean differs in the last ulp
+    between engines and core counts.
+
+    FLOOR quantization, not round: Spark's round on a double goes
+    through BigDecimal.valueOf (the SHORTEST-decimal representation)
+    while DuckDB rounds the true binary value — arbitrary float32
+    inputs land in the half-tie region often enough that the two
+    disagree (measured: 3 of 640 group sums off by 1-2 at sf0.01).
+    floor is defined on the binary value in both engines. The _digest_chk
+    round(x*scale) pattern is safe only because its quantities sit on a
+    known decimal grid; arbitrary floats must floor."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    # posexplode's position is int32; the oracle's range() index is
+    # BIGINT — the driver's Arrow schema gate sees the difference
+    x = x.withColumn("dim", F.col("dim").cast("long"))
+    out = x.groupBy("label", "dim").agg(
+        F.count("v").alias("n"),
+        F.sum(F.floor(F.col("v") * F.lit(1e6)).cast("long")).alias("qsum"))
+    # unrounded on purpose: exact-int-in-double division is already
+    # bit-identical cross-engine; rounding would LAND ON the quotient's
+    # decimal grid (see oracle comment)
+    out = out.withColumn(
+        "centroid", F.col("qsum") / (F.col("n") * F.lit(1e6)))
+    return out.select("label", "dim", "n", "qsum", "centroid")
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -3318,6 +3367,7 @@ QUERY_ORDER: list[str] = [
     "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
     "orc_roundtrip", "salted_skew_counts", "time_features",
     "winsorize_events", "ewma_events", "rank_features",
+    "embedding_centroids",
 ]
 
 

@@ -289,3 +289,20 @@ def test_rank_transform_matches_pandas(spark, sf_dir, events_pdf):
         for eid, c, p in zip(grp["event_id"], cume, prank):
             assert np.isclose(got.loc[eid, "value_cume"], c), eid
             assert np.isclose(got.loc[eid, "value_pct_rank"], p), eid
+
+
+def test_embedding_centroids_match_numpy(spark, sf_dir):
+    from ecg_feature_engineering_spark import contract
+
+    got = contract.QUERY_BUILDERS["embedding_centroids"](
+        spark, sf_dir).toPandas().set_index(["label", "dim"])
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    for lbl, grp in pdf.groupby("label"):
+        M = np.stack([np.asarray(e, dtype=np.float32)
+                      for e in grp["embedding"]]).astype(np.float64)
+        q = np.floor(M * 1e6).astype(np.int64).sum(axis=0)
+        for d in range(M.shape[1]):
+            row = got.loc[(lbl, d)]
+            assert row["qsum"] == q[d], (lbl, d)
+            assert row["n"] == len(M)
+            assert np.isclose(row["centroid"], q[d] / (len(M) * 1e6))
