@@ -3306,6 +3306,63 @@ def q_embedding_centroids(spark, sf_dir):
     return out.select("label", "dim", "n", "qsum", "centroid")
 
 
+@register("target_encoding_pit", """
+WITH q AS (SELECT event_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS qv FROM events),
+s AS (SELECT event_id, event_type,
+        count(qv) OVER w AS n_prev,
+        sum(qv) OVER w AS s_prev
+      FROM q
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, event_type,
+  CASE WHEN n_prev > 0
+       THEN s_prev / (n_prev * 100.0::DOUBLE) END AS target_enc
+FROM s
+""")
+def q_target_encoding_pit(spark, sf_dir):
+    """Point-in-time target encoding: each row's feature is the mean
+    target of STRICTLY EARLIER same-category rows (frame ends at
+    1 PRECEDING — the target-encoding leak is impossible by
+    construction, the north rule's zero-temporal-leakage requirement
+    applied to a supervised feature). Integer-quantized window sums;
+    the quotient emitted unrounded (bit-identical exact-int division)."""
+    ev = _events(spark, sf_dir)
+    out = windows.target_encode_pit(ev, "event_type", "value",
+                                    order=("ts", "event_id"))
+    return out.select("event_id", "event_type", "target_enc")
+
+
+@register("expanding_zscore", """
+WITH q AS (SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS qv FROM events),
+s AS (SELECT event_id, user_id, qv,
+        count(qv) OVER w AS n,
+        sum(qv) OVER w AS s1,
+        sum(qv * qv) OVER w AS s2
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id,
+  CASE WHEN qv IS NOT NULL AND (n * s2 - s1 * s1) > 0
+       THEN (qv - s1 / (n * 1.0::DOUBLE))
+            / sqrt((n * s2 - s1 * s1) / ((n * n) * 1.0::DOUBLE)) END
+    AS zscore_pit
+FROM s
+""")
+def q_expanding_zscore(spark, sf_dir):
+    """Leakage-safe expanding z-score: standardize each value against
+    its own history only (the point-in-time StandardScaler). Integer
+    power sums (exact under any window accumulation order — DuckDB
+    segment-trees windowed sums, Spark runs them forward, a float sum
+    would diverge), variance via n·Σx²−(Σx)², z emitted unrounded
+    (identical doubles through an identical operation sequence)."""
+    ev = _events(spark, sf_dir)
+    out = windows.expanding_zscore(ev, "value", by="user_id",
+                                   order=("ts", "event_id"))
+    return out.select("event_id", "user_id", "zscore_pit")
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -3367,7 +3424,7 @@ QUERY_ORDER: list[str] = [
     "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
     "orc_roundtrip", "salted_skew_counts", "time_features",
     "winsorize_events", "ewma_events", "rank_features",
-    "embedding_centroids",
+    "embedding_centroids", "target_encoding_pit", "expanding_zscore",
 ]
 
 

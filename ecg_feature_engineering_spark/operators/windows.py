@@ -356,3 +356,59 @@ def rank_transform(df: DataFrame, value: str, by="user_id",
         f"{value}_pct_rank": F.percent_rank().over(w_val),
         f"{value}_rank": F.row_number().over(w_det).cast("long"),
     })
+
+
+def target_encode_pit(df: DataFrame, cat: str, target: str,
+                      order=("ts", "event_id"), quantize: float = 100.0,
+                      out: str = "target_enc") -> DataFrame:
+    """Point-in-time target encoding: for each row, the mean of
+    ``target`` over all STRICTLY EARLIER rows of the same category —
+    the frame ends at ``-1 PRECEDING``, so the row's own target can
+    never leak into its feature (the classic target-encoding leak,
+    eliminated structurally rather than by discipline). Cold-start rows
+    (first of their category) get NULL, which is the honest answer.
+
+    Cross-engine exactness: the target is quantized to an integer grid
+    before the window sum (a windowed FLOAT sum's accumulation order is
+    an engine detail — DuckDB segment-trees it, Spark runs it
+    forward), and the final quotient of exact-in-double integers is
+    emitted UNROUNDED (bit-identical; rounding would land on the
+    quotient's own decimal grid)."""
+    order = [order] if isinstance(order, str) else list(order)
+    w = (entity_window(cat, order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    q = F.round(F.col(target) * quantize).cast("long")
+    n_prev = F.count(q).over(w)
+    s_prev = F.sum(q).over(w)
+    return df.withColumn(
+        out, F.when(n_prev > 0,
+                    s_prev / (n_prev * F.lit(quantize))))
+
+
+def expanding_zscore(df: DataFrame, value: str, by="user_id",
+                     order=("ts", "event_id"), quantize: float = 100.0,
+                     out: str = "zscore_pit") -> DataFrame:
+    """Leakage-safe expanding z-score: standardize each value against
+    the statistics of its OWN history (rows up to and including the
+    current one, never later) — the point-in-time twin of the batch
+    StandardScaler, for features that must be computable at event time.
+
+    Integer power sums inside the window (exact under any accumulation
+    order), population variance via n·Σx² − (Σx)² on int64 — the same
+    exactness discipline as the A-family power-sum stats; the domain
+    precondition |quantized value| · n ≤ ~3e9·√n (int64 headroom for
+    n·Σx²) matches the engine-wide variability-family contract. NULL
+    values carry no mass and receive NULL scores."""
+    order = [order] if isinstance(order, str) else list(order)
+    w = (entity_window(by, order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    q = F.round(F.col(value) * quantize).cast("long")
+    n = F.count(q).over(w)
+    s1 = F.sum(q).over(w)
+    s2 = F.sum(q * q).over(w)
+    var_num = n * s2 - s1 * s1           # = n^2 * population variance
+    mean = s1 / (n * F.lit(1.0))
+    std = F.sqrt(var_num / (n * n * F.lit(1.0)))
+    z = F.when(q.isNotNull() & (var_num > 0),
+               (q - mean) / std)
+    return df.withColumn(out, z)

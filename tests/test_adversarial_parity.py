@@ -140,8 +140,10 @@ def test_tie_order_parity(spark, duck, ties_dir):
         # winsorize quantile grid hits repeated order statistics
         "time_features", "winsorize_events",
         # ewma's (ts, event_id) lag order and rank peers both hinge on
-        # the tie-break contract
-        "ewma_events", "rank_features",
+        # the tie-break contract; the PIT pair's strictly-before /
+        # up-to-current frames walk the same tied order
+        "ewma_events", "rank_features", "target_encoding_pit",
+        "expanding_zscore",
     ], ties_dir)
 
 
@@ -229,8 +231,10 @@ def test_null_value_parity(spark, duck, nulls_dir):
         # clamp (least/greatest silently skip NULLs in both engines)
         "winsorize_events",
         # ewma renormalizes over null holes; rank pins NULLS FIRST
-        # (Spark's asc default) against DuckDB's nulls-LAST default
-        "ewma_events", "rank_features",
+        # (Spark's asc default) against DuckDB's nulls-LAST default;
+        # the PIT pair's count(qv) must skip null targets identically
+        "ewma_events", "rank_features", "target_encoding_pit",
+        "expanding_zscore",
     ], nulls_dir)
 
 

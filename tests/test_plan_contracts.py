@@ -46,6 +46,8 @@ def _counts(df):
     ("lag_diffs", 1, 0),
     ("sessionize", 1, 0),
     ("rank_features", 1, 0),
+    ("target_encoding_pit", 1, 0),
+    ("expanding_zscore", 1, 0),
 ])
 def test_query_shuffle_budget(spark, sf_dir, name, max_shuffles,
                               max_python):

@@ -306,3 +306,60 @@ def test_embedding_centroids_match_numpy(spark, sf_dir):
             assert row["qsum"] == q[d], (lbl, d)
             assert row["n"] == len(M)
             assert np.isclose(row["centroid"], q[d] / (len(M) * 1e6))
+
+
+def test_target_encoding_pit_matches_loop_and_never_leaks(
+        spark, sf_dir, events_pdf):
+    from ecg_feature_engineering_spark.operators import windows as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    got = W.target_encode_pit(ev, "event_type", "value") \
+        .toPandas().set_index("event_id")["target_enc"]
+    pdf = events_pdf.sort_values(["event_type", "ts", "event_id"])
+    for _, grp in pdf.groupby("event_type"):
+        run_sum = 0
+        run_n = 0
+        for eid, v in zip(grp["event_id"], grp["value"]):
+            if run_n == 0:
+                assert pd.isna(got.loc[eid]), eid  # cold start is NULL
+            else:
+                want = run_sum / (run_n * 100.0)
+                assert np.isclose(got.loc[eid], want), eid
+            if not pd.isna(v):
+                run_sum += round(v * 100)
+                run_n += 1
+    # structural leakage check: perturbing a row's OWN target must not
+    # change its encoding (the frame ends strictly before the row)
+    first = ev.orderBy("ts", "event_id").limit(1).collect()[0]
+    from pyspark.sql import functions as SF
+    poisoned = ev.withColumn(
+        "value", SF.when(SF.col("event_id") == first.event_id,
+                         SF.lit(9.9e5)).otherwise(SF.col("value")))
+    enc0 = W.target_encode_pit(ev, "event_type", "value") \
+        .where(SF.col("event_id") == first.event_id) \
+        .collect()[0]["target_enc"]
+    enc1 = W.target_encode_pit(poisoned, "event_type", "value") \
+        .where(SF.col("event_id") == first.event_id) \
+        .collect()[0]["target_enc"]
+    assert (enc0 is None and enc1 is None) or enc0 == enc1
+
+
+def test_expanding_zscore_matches_loop(spark, sf_dir, events_pdf):
+    from ecg_feature_engineering_spark.operators import windows as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "value")
+    got = W.expanding_zscore(ev, "value", by="user_id") \
+        .toPandas().set_index("event_id")["zscore_pit"]
+    for _, grp in events_pdf.groupby("user_id"):
+        hist = []
+        for eid, v in zip(grp["event_id"], grp["value"]):
+            if not pd.isna(v):
+                hist.append(round(v * 100))
+            a = np.array(hist, dtype=np.float64)
+            if pd.isna(v) or len(a) < 2 or a.std() == 0:
+                assert pd.isna(got.loc[eid]), eid
+            else:
+                want = (round(v * 100) - a.mean()) / a.std()
+                assert np.isclose(got.loc[eid], want), eid
