@@ -3363,6 +3363,59 @@ def q_expanding_zscore(spark, sf_dir):
     return out.select("event_id", "user_id", "zscore_pit")
 
 
+@register("stratified_sample", """
+SELECT doc_id, lang,
+  CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 10000
+    AS bucket
+FROM documents
+WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 10000
+      < (CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END)
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (class-balanced downsampling
+    at scale): keep iff the id's md5 bucket falls under the stratum
+    rate — stable under repartitioning/reruns/resume, unlike sampleBy's
+    seeded Bernoulli draw (an engine detail no oracle can replay)."""
+    d = _t(spark, sf_dir, "documents")
+    out = splits.stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5}, default_rate=0.2,
+        portable=True)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long"), F.lit(10_000))
+    return out.select("doc_id", "lang", bucket.alias("bucket"))
+
+
+@register("daily_type_rollup_outer", """
+WITH c AS (
+  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS n_click
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+v AS (
+  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, count(*) AS n_view
+  FROM events WHERE event_type = 'view' GROUP BY 1)
+SELECT coalesce(c.day, v.day) AS day,
+  CAST(coalesce(c.n_click, 0) AS BIGINT) AS n_click,
+  CAST(coalesce(v.n_view, 0) AS BIGINT) AS n_view
+FROM c FULL OUTER JOIN v ON c.day = v.day
+""")
+def q_daily_type_rollup_outer(spark, sf_dir):
+    """FULL OUTER join of two daily rollups (days where only one event
+    type fired survive with a zero for the other) — the outer-join
+    null-fill semantics the relational core had not yet certified."""
+    ev = _events(spark, sf_dir)
+    sec = F.floor(windows.epoch_seconds(ev, "ts")).cast("long")
+    day = F.floor(sec / F.lit(86400.0)).cast("long").alias("day")
+    c = (ev.where(F.col("event_type") == "click").select(day)
+           .groupBy("day").agg(F.count(F.lit(1)).alias("n_click")))
+    v = (ev.where(F.col("event_type") == "view").select(day)
+           .groupBy("day").agg(F.count(F.lit(1)).alias("n_view")))
+    j = c.join(v, on="day", how="full_outer")
+    return j.select(
+        "day",
+        F.coalesce(F.col("n_click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.col("n_view"), F.lit(0)).alias("n_view"))
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -3425,6 +3478,7 @@ QUERY_ORDER: list[str] = [
     "orc_roundtrip", "salted_skew_counts", "time_features",
     "winsorize_events", "ewma_events", "rank_features",
     "embedding_centroids", "target_encoding_pit", "expanding_zscore",
+    "stratified_sample", "daily_type_rollup_outer",
 ]
 
 

@@ -171,7 +171,7 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # tokenizer/regex/count-skipping contracts can diverge
         "gopher_quality", "pii_scrub", "dup_ngram_fraction",
         "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
-        "orc_roundtrip",
+        "orc_roundtrip", "stratified_sample",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3

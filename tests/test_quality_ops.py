@@ -363,3 +363,24 @@ def test_expanding_zscore_matches_loop(spark, sf_dir, events_pdf):
             else:
                 want = (round(v * 100) - a.mean()) / a.std()
                 assert np.isclose(got.loc[eid], want), eid
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from ecg_feature_engineering_spark.operators import splits as SP
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept1 = SP.stratified_sample(d, "doc_id", "lang", {"en": 0.5},
+                                 default_rate=0.2).toPandas()
+    kept2 = SP.stratified_sample(d, "doc_id", "lang", {"en": 0.5},
+                                 default_rate=0.2).toPandas()
+    # deterministic: identical draw on rerun (resume contract)
+    assert sorted(kept1["doc_id"]) == sorted(kept2["doc_id"])
+    full = d.toPandas()
+    for lang, grp in full.groupby("lang"):
+        rate = 0.5 if lang == "en" else 0.2
+        got = (kept1["lang"] == lang).sum() / len(grp)
+        assert abs(got - rate) < 0.15, (lang, got)
+    # portable (md5) and production (xxhash64) modes draw ~the same rate
+    pk = SP.stratified_sample(d, "doc_id", "lang", {"en": 0.5},
+                              default_rate=0.2, portable=True).count()
+    assert abs(pk - len(kept1)) / len(full) < 0.1
