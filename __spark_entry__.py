@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per relationally-expressible query;
-    kernel-backed queries are rows-only (numeric oracles live in tests/)."""
+    """DuckDB-runnable ANSI SQL oracle per query — since late r3 EVERY
+    registered query has one (relational SQL, generated SQL twins, or
+    pinned seeded-corpus digests); raw kernel numerics additionally
+    oracle-checked in tests/."""
     return contract.ordered_oracles()
