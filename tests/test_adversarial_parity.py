@@ -276,4 +276,9 @@ def test_constant_series_parity(spark, duck, const_dir):
         "coeff_of_variation", "per_lead_summary", "sample_entropy",
         "sample_entropy_qrs", "qrs_yuxi", "long_stats", "scale_input",
         "mad", "cdf_density",
+        # zero-variance is expanding_zscore's guard class (var_num = 0
+        # -> NULL, never a divide); constant series also collapse the
+        # winsorize quantile grid (lo == hi) and the rank peer groups
+        "expanding_zscore", "winsorize_events", "rank_features",
+        "ewma_events", "target_encoding_pit",
     ], const_dir)
