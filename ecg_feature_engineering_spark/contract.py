@@ -3380,9 +3380,9 @@ def q_stratified_sample(spark, sf_dir):
     out = splits.stratified_sample(
         d, "doc_id", "lang", {"en": 0.5}, default_rate=0.2,
         portable=True)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-               16, 10).cast("long"), F.lit(10_000))
+    # the SAME expression the filter used (splits.sample_bucket_expr),
+    # so the emitted bucket column cannot drift from the applied filter
+    bucket = splits.sample_bucket_expr("doc_id", portable=True)
     return out.select("doc_id", "lang", bucket.alias("bucket"))
 
 

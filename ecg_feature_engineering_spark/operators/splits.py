@@ -172,25 +172,32 @@ def blacklist_filter(df: DataFrame, id_col: str, bad_ids: list) -> DataFrame:
     return df.join(F.broadcast(bl), id_col, "left_anti")
 
 
+def sample_bucket_expr(id_col: str, portable: bool = False,
+                       modulus: int = 10_000) -> Column:
+    """The deterministic sampling bucket in [0, modulus): xxhash64 by
+    default; ``portable=True`` derives it from md5 — slower, but
+    byte-identical in any engine that has md5 (the oracle mode). The
+    ONE definition both stratified_sample and its contract query use —
+    an inline copy would let the emitted bucket column drift from the
+    filter actually applied."""
+    if portable:
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                   16, 10).cast("long"),
+            F.lit(modulus))
+    return F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.lit(modulus))
+
+
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
                       rates: dict[str, float], default_rate: float = 0.0,
                       portable: bool = False) -> DataFrame:
     """Deterministic per-stratum sampling: keep a row iff its id's hash
-    bucket falls under the stratum's rate — the scale-safe replacement
-    for sampleBy (stable under repartitioning, reruns, and resume; the
-    same id always makes the same draw, so downstream joins against the
-    sample stay consistent).
-
-    ``portable=True`` swaps xxhash64 for an md5-derived bucket — slower,
-    but byte-identical in any engine that has md5 (the oracle mode).
+    bucket (``sample_bucket_expr``) falls under the stratum's rate — the
+    scale-safe replacement for sampleBy (stable under repartitioning,
+    reruns, and resume; the same id always makes the same draw, so
+    downstream joins against the sample stay consistent).
     Rates are in [0, 1] and quantized to 1e-4 (the bucket modulus)."""
-    if portable:
-        bucket = F.pmod(
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                   16, 10).cast("long"),
-            F.lit(10_000))
-    else:
-        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.lit(10_000))
+    bucket = sample_bucket_expr(id_col, portable)
     thr: Column | None = None
     for name, rate in rates.items():
         cond = F.col(strata_col) == name

@@ -395,10 +395,12 @@ def expanding_zscore(df: DataFrame, value: str, by="user_id",
 
     Integer power sums inside the window (exact under any accumulation
     order), population variance via n·Σx² − (Σx)² on int64 — the same
-    exactness discipline as the A-family power-sum stats; the domain
-    precondition |quantized value| · n ≤ ~3e9·√n (int64 headroom for
-    n·Σx²) matches the engine-wide variability-family contract. NULL
-    values carry no mass and receive NULL scores."""
+    exactness discipline as the A-family power-sum stats. Domain
+    precondition: |quantized value| · n ≤ ~3.0e9 — the binding term is
+    (Σx)² ≤ n²·q² ≤ int64max (NO √n slack: a constant series maximizes
+    both n·Σx² and (Σx)² at exactly n²q²), i.e. |value| ≤ 3.0e7/n at
+    the default cents grid — consistent with CLAUDE.md's engine-wide
+    power-sum rule. NULL values carry no mass and receive NULL scores."""
     order = [order] if isinstance(order, str) else list(order)
     w = (entity_window(by, order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -144,6 +144,8 @@ def test_tie_order_parity(spark, duck, ties_dir):
         # up-to-current frames walk the same tied order
         "ewma_events", "rank_features", "target_encoding_pit",
         "expanding_zscore",
+        # FULL OUTER day matching over tied/duplicated timestamps
+        "daily_type_rollup_outer",
     ], ties_dir)
 
 
@@ -235,6 +237,8 @@ def test_null_value_parity(spark, duck, nulls_dir):
         # the PIT pair's count(qv) must skip null targets identically
         "ewma_events", "rank_features", "target_encoding_pit",
         "expanding_zscore",
+        # outer-join zero-fill with null values in the aggregated column
+        "daily_type_rollup_outer",
     ], nulls_dir)
 
 
