@@ -3416,6 +3416,30 @@ def q_daily_type_rollup_outer(spark, sf_dir):
         F.coalesce(F.col("n_view"), F.lit(0)).alias("n_view"))
 
 
+@register("quantile_buckets", """
+WITH q AS (SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS qv FROM events),
+b AS (SELECT user_id,
+        quantile_cont(qv, 0.25) AS c0,
+        quantile_cont(qv, 0.50) AS c1,
+        quantile_cont(qv, 0.75) AS c2
+      FROM q GROUP BY user_id)
+SELECT q.event_id, q.user_id,
+  CASE WHEN q.qv IS NOT NULL THEN
+    CAST((q.qv > b.c0)::INT + (q.qv > b.c1)::INT + (q.qv > b.c2)::INT
+         AS BIGINT) END AS value_qbucket
+FROM q LEFT JOIN b USING (user_id)
+""")
+def q_quantile_buckets(spark, sf_dir):
+    """Per-entity quartile bucketing (QuantileDiscretizer as a
+    relational operator): integer-grid values + binary-grid
+    probabilities make the cut points IEEE-exact cross-engine; bucket =
+    count of cuts strictly below the value; NULL values keep NULL."""
+    ev = _events(spark, sf_dir)
+    out = stats.quantile_discretize(ev, "value", by="user_id")
+    return out.select("event_id", "user_id", "value_qbucket")
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -3478,7 +3502,7 @@ QUERY_ORDER: list[str] = [
     "orc_roundtrip", "salted_skew_counts", "time_features",
     "winsorize_events", "ewma_events", "rank_features",
     "embedding_centroids", "target_encoding_pit", "expanding_zscore",
-    "stratified_sample", "daily_type_rollup_outer",
+    "stratified_sample", "daily_type_rollup_outer", "quantile_buckets",
 ]
 
 

@@ -629,3 +629,33 @@ def winsorize(df: DataFrame, value: str, by="entity_id",
     return (joined
             .withColumn(f"{value}_winsorized", clamped / F.lit(quantize))
             .withColumnRenamed("__q", f"{value}_q"))
+
+
+def quantile_discretize(df: DataFrame, value: str, by="entity_id",
+                        probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                        quantize: float = 100.0,
+                        out: str | None = None) -> DataFrame:
+    """Per-group quantile bucketing (the QuantileDiscretizer analog as a
+    relational operator): bucket k = number of group-quantile cut points
+    the value is strictly above — quartiles by default give buckets
+    0..3. Same exactness contract as winsorize: integer-grid values,
+    binary-grid probabilities, broadcast cut points; NULL values get
+    NULL buckets. Ties sit in the LOWER bucket (<= cut stays below),
+    matching SQL's strict-> comparison on both engines."""
+    for p in probs:
+        if p * 4096 != int(p * 4096):
+            raise ValueError(f"probability {p} is not binary-exact")
+    q = F.round(F.col(value) * quantize).cast("long")
+    with_q = df.withColumn("__q", q)
+    by_cols = [by] if isinstance(by, str) else list(by)
+    bounds = with_q.groupBy(*by_cols).agg(*[
+        F.percentile(F.col("__q"), F.lit(p)).alias(f"__cut{i}")
+        for i, p in enumerate(probs)])
+    joined = with_q.join(F.broadcast(bounds), on=by_cols, how="left")
+    bucket = None
+    for i in range(len(probs)):
+        step = (F.col("__q") > F.col(f"__cut{i}")).cast("int")
+        bucket = step if bucket is None else bucket + step
+    col = F.when(F.col("__q").isNotNull(), bucket).cast("long")
+    return (joined.withColumn(out or f"{value}_qbucket", col)
+            .drop("__q", *[f"__cut{i}" for i in range(len(probs))]))

@@ -145,7 +145,7 @@ def test_tie_order_parity(spark, duck, ties_dir):
         "ewma_events", "rank_features", "target_encoding_pit",
         "expanding_zscore",
         # FULL OUTER day matching over tied/duplicated timestamps
-        "daily_type_rollup_outer",
+        "daily_type_rollup_outer", "quantile_buckets",
     ], ties_dir)
 
 
@@ -239,6 +239,8 @@ def test_null_value_parity(spark, duck, nulls_dir):
         "expanding_zscore",
         # outer-join zero-fill with null values in the aggregated column
         "daily_type_rollup_outer",
+        # NULL values keep NULL buckets; cut points skip them
+        "quantile_buckets",
     ], nulls_dir)
 
 
@@ -285,4 +287,6 @@ def test_constant_series_parity(spark, duck, const_dir):
         # winsorize quantile grid (lo == hi) and the rank peer groups
         "expanding_zscore", "winsorize_events", "rank_features",
         "ewma_events", "target_encoding_pit",
+        # constant series: every cut equals the value -> bucket 0 for all
+        "quantile_buckets",
     ], const_dir)

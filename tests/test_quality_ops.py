@@ -384,3 +384,19 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     pk = SP.stratified_sample(d, "doc_id", "lang", {"en": 0.5},
                               default_rate=0.2, portable=True).count()
     assert abs(pk - len(kept1)) / len(full) < 0.1
+
+
+def test_quantile_discretize_matches_numpy(spark, sf_dir, events_pdf):
+    from ecg_feature_engineering_spark.operators import stats as S
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value")
+    got = S.quantile_discretize(ev, "value", by="user_id") \
+        .toPandas().set_index("event_id")["value_qbucket"]
+    for _, grp in events_pdf.groupby("user_id"):
+        cents = np.round(grp["value"].to_numpy() * 100)
+        cuts = np.quantile(cents, [0.25, 0.5, 0.75])
+        for eid, v in zip(grp["event_id"], cents):
+            assert got.loc[eid] == int((v > cuts).sum()), eid
+    # all four buckets must be populated somewhere
+    assert set(got.unique()) == {0, 1, 2, 3}
