@@ -1378,6 +1378,52 @@ def q_decode_stats(spark, sf_dir):
         F.max("luma_std").alias("max_luma_std"))
 
 
+@register("decode_quarantine", """
+SELECT * FROM (VALUES
+  ('bmp', 'bad_magic', 8, NULL::DOUBLE, NULL::DOUBLE),
+  ('bmp', 'corrupt', 8, NULL::DOUBLE, NULL::DOUBLE),
+  ('bmp', 'null_payload', 8, NULL::DOUBLE, NULL::DOUBLE),
+  ('bmp', 'ok', 56, 115.083333::DOUBLE, 135.385417::DOUBLE),
+  ('jpeg', 'bad_magic', 8, NULL::DOUBLE, NULL::DOUBLE),
+  ('jpeg', 'corrupt', 8, NULL::DOUBLE, NULL::DOUBLE),
+  ('jpeg', 'null_payload', 8, NULL::DOUBLE, NULL::DOUBLE),
+  ('jpeg', 'ok', 56, 120.295573::DOUBLE, 131.650046::DOUBLE),
+  ('png', 'bad_magic', 8, NULL::DOUBLE, NULL::DOUBLE),
+  ('png', 'corrupt', 8, NULL::DOUBLE, NULL::DOUBLE),
+  ('png', 'null_payload', 8, NULL::DOUBLE, NULL::DOUBLE),
+  ('png', 'ok', 56, 116.84375::DOUBLE, 135.703125::DOUBLE)
+) AS t(fmt, error_kind, n, min_px_mean, max_px_mean)
+""")
+def q_decode_quarantine(spark, sf_dir):
+    """Fault-tolerant decode + quarantine digest: the seeded 240-image
+    corpus with 30% of payloads deliberately corrupted IN-PLAN (pure JVM
+    binary expressions — truncate to half / clobber the magic / NULL out,
+    keyed on the image index so the damage is deterministic), then
+    ``decode_with_status`` classifies every row instead of aborting the
+    stage. Digest: (fmt, error_kind) counts — 56 ok + 8 of each failure
+    kind per format — plus min/max px_mean over the surviving rows
+    (pinned golden constants, the image_decode_stats pattern)."""
+    img = _images(spark)
+    idx = F.substring("image_id", 4, 8).cast("int")
+    blen = F.octet_length("bytes")
+    corrupted = img.withColumn(
+        "bytes",
+        F.when(idx % 10 == 3,
+               F.substring(F.col("bytes"), F.lit(1),
+                           (blen / F.lit(2)).cast("int")))
+         .when(idx % 10 == 7,
+               F.concat(F.lit(b"XX"), F.substring(F.col("bytes"),
+                                                  F.lit(3), blen)))
+         .when(idx % 10 == 9, F.lit(None).cast("binary"))
+         .otherwise(F.col("bytes")))
+    out = kernels.decode_with_status(corrupted, keep=["image_id", "fmt"])
+    out = _round(out, ["px_mean"])
+    return out.groupBy("fmt", "error_kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("px_mean").alias("min_px_mean"),
+        F.max("px_mean").alias("max_px_mean"))
+
+
 # Deterministic multi-label predictions table shared by the U11 metric
 # queries — both engines derive identical (rec, class, label, output, prob)
 # rows from `documents` via portable integer arithmetic, so the metrics
@@ -3011,6 +3057,85 @@ def q_dup_ngram_fraction(spark, sf_dir):
     return _round(out, ["dup_ngram_char_frac"])
 
 
+# Shared DuckDB CTE chain for the winnowing queries: normalize -> char
+# k-grams -> portable 60-bit md5 hashes -> window-4 minima (value-set
+# winnowing). Mirrors text.winnow_selected exactly: generate_series/range
+# bounds, substr window, the '0x'||hex BIGINT cast, and the <w-gram
+# degenerate cases (global min for 1..3 grams, empty for gram-less docs).
+def _winnow_sql(k: int) -> str:
+    return rf"""
+wnorm AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), {_WS_SQL}, ' ', 'g')) AS t
+  FROM documents),
+wh AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= {k} THEN
+      list_transform(range(1, length(t) - {k - 2}),
+        i -> CAST('0x' || substr(md5(substr(t, i, {k})), 1, 15) AS BIGINT))
+    ELSE [] END AS h
+  FROM wnorm),
+wsel AS (
+  SELECT doc_id, len(h) AS m,
+    CASE
+      WHEN len(h) >= 4 THEN list_distinct(list_transform(
+        range(1, len(h) - 2), j -> list_aggregate(h[j:j+3], 'min')))
+      WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
+      ELSE []
+    END AS s
+  FROM wh)
+"""
+
+
+@register("winnow_fingerprints", rf"""
+WITH {_winnow_sql(5)}
+SELECT doc_id,
+  m::BIGINT AS n_kgrams,
+  len(s)::BIGINT AS n_selected,
+  coalesce(CAST(list_aggregate(
+      list_transform(s, x -> x % 1000000007), 'sum') AS BIGINT), 0)
+    AS winnow_checksum,
+  CASE WHEN m > 0 THEN len(s) / m::DOUBLE END AS winnow_density
+FROM wsel
+""")
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (SIGMOD'03 MOSS) per document: k=5 char
+    grams, window w=4, order-independent mod-1e9+7 checksum of the
+    selected-hash set. Density is an exact int/int quotient — emitted
+    UNROUNDED (bit-identical division cross-engine)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(d, "text", k=5, w=4).select(
+        "doc_id", "n_kgrams", "n_selected", "winnow_checksum",
+        "winnow_density")
+
+
+@register("winnow_match_pairs", rf"""
+WITH {_winnow_sql(12)},
+post AS (SELECT doc_id AS id, unnest(s) AS whash FROM wsel),
+hot AS (SELECT whash FROM post GROUP BY whash HAVING count(*) > 100),
+cold AS (SELECT * FROM post
+         WHERE whash NOT IN (SELECT whash FROM hot))
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+FROM cold a JOIN cold b ON a.whash = b.whash AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING count(*) >= 20
+""")
+def q_winnow_match_pairs(spark, sf_dir):
+    """MOSS-style containment pairs: documents sharing >= 20 selected
+    winnowing hashes at noise threshold k=12 (a shared hash certifies a
+    shared substring of length >= k+w-1 = 15 chars; k=5 grams are too
+    common in natural text — see winnow_match_pairs' docstring). The
+    min_shared=20 floor sits in the measured gap between templated-
+    boilerplate pair overlap (p99.9 = 18 shared hashes on the sf0.01
+    corpus) and genuine near-dup pairs (>= 20; the same ~25-pair
+    cluster ngram_jaccard certifies). Hot hashes (df > 100) are dropped
+    before the posting-list self-join — the ngram_jaccard cap, mirrored
+    in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return text.winnow_match_pairs(d, "text", "doc_id", k=12, w=4,
+                                   min_shared=20, df_cap=100)
+
+
 @register("approx_distinct_docs", """
 SELECT source, count(DISTINCT text)::BIGINT AS n_exact,
   TRUE AS within_rel_err
@@ -3503,6 +3628,7 @@ QUERY_ORDER: list[str] = [
     "winsorize_events", "ewma_events", "rank_features",
     "embedding_centroids", "target_encoding_pit", "expanding_zscore",
     "stratified_sample", "daily_type_rollup_outer", "quantile_buckets",
+    "winnow_fingerprints", "winnow_match_pairs", "decode_quarantine",
 ]
 
 

@@ -84,6 +84,90 @@ def decode_stats(df, id_col: str = "image_id", bytes_col: str = "bytes",
         .mapInPandas(run, schema=out_schema)
 
 
+QUARANTINE_FIELDS = (
+    "ok boolean, error_kind string, px_mean double, "
+    "decoded_w int, decoded_h int"
+)
+
+# First-bytes signature per supported format (decode dispatch contract,
+# datagen/codecs.py): payloads failing this check are classified
+# 'bad_magic' WITHOUT attempting a decode.
+_MAGICS = {
+    "bmp": (b"BM",),
+    "png": (b"\x89PNG",),
+    "jpeg": (b"DCTQ", b"FJPG"),
+}
+
+
+def decode_with_status(df, id_col: str = "image_id",
+                       bytes_col: str = "bytes", fmt_col: str = "fmt",
+                       keep: list[str] | None = None):
+    """Fault-tolerant decode: per-row ok/error_kind instead of a thrown
+    exception — at 10^12 rows a single corrupt payload must quarantine
+    its ROW, never abort the stage (the plain ``decode_stats`` kernel —
+    and the reference's serial loop, extract_HRV.py:30-33 — both die on
+    the first bad record).
+
+    error_kind taxonomy: 'ok' | 'null_payload' (NULL/empty bytes) |
+    'unsupported_fmt' | 'bad_magic' (signature mismatch, no decode
+    attempted) | 'corrupt' (decode raised mid-stream — truncation, bad
+    stream, shape mismatch). Stats columns are NULL for non-ok rows.
+
+    Same distributed shape as ``decode_stats``: mapInPandas on the scan
+    partitions, zero shuffle, payload pruned after the kernel. Split the
+    result on ``ok`` to route bad rows to a quarantine sink.
+    """
+    keep = keep if keep is not None else [id_col]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (", ".join(f"{c} {types[c]}" for c in keep)
+                  + ", " + QUARANTINE_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            ok = np.zeros(n, dtype=bool)
+            kind: list[str] = [""] * n
+            mean = np.full(n, np.nan)
+            dims = np.full((n, 2), -1, dtype=np.int64)
+            data_col = b[bytes_col].to_numpy()
+            fmts = b[fmt_col].to_numpy()
+            for i in range(n):
+                data, fmt = data_col[i], fmts[i]
+                magics = _MAGICS.get(fmt)
+                if data is None or len(data) == 0:
+                    kind[i] = "null_payload"
+                elif magics is None:
+                    kind[i] = "unsupported_fmt"
+                elif not any(bytes(data[: len(mg)]) == mg
+                             for mg in magics):
+                    kind[i] = "bad_magic"
+                else:
+                    try:
+                        px = _decode_one(data, fmt).astype(np.float64)
+                    except Exception:
+                        kind[i] = "corrupt"
+                    else:
+                        ok[i] = True
+                        kind[i] = "ok"
+                        mean[i] = px.mean()
+                        dims[i] = (px.shape[1], px.shape[0])
+            out = b[keep].copy()
+            out["ok"] = ok
+            out["error_kind"] = kind
+            # NaN -> NULL and NA-int plumbing: nullable dtypes make the
+            # "stats are NULL for bad rows" contract explicit in Arrow
+            out["px_mean"] = pd.array(
+                np.where(ok, mean, np.nan), dtype="Float64")
+            out["decoded_w"] = pd.array(
+                np.where(ok, dims[:, 0], None), dtype="Int32")
+            out["decoded_h"] = pd.array(
+                np.where(ok, dims[:, 1], None), dtype="Int32")
+            yield out
+
+    return df.select(*dict.fromkeys([*keep, bytes_col, fmt_col])) \
+        .mapInPandas(run, schema=out_schema)
+
+
 PAYLOAD_FEATURES_FIELDS = (
     DECODE_STATS_FIELDS
     + ", phash_recomputed long, phash_hamming int"

@@ -253,6 +253,135 @@ def dup_ngram_stats(df: DataFrame, text_col: str = "text",
             }).drop("__ws", "__grams", "__sg", "__dup", "__tot"))
 
 
+def winnow_selected(df: DataFrame, text_col: str = "text",
+                    k: int = 5, w: int = 4,
+                    out: str = "winnow_sel") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every char k-gram of the
+    whitespace-normalized lowercase text, then keep the minimum hash of
+    every window of ``w`` consecutive k-grams. The selected-hash SET is
+    position-robust: any shared substring of length >= k + w - 1 between
+    two documents is guaranteed to contribute at least one common
+    selected hash.
+
+    Spec note: this is the VALUE-SET variant — each window contributes
+    ``array_min`` of its hashes and the per-document fingerprint is the
+    distinct set of those minima (the classic positional tie-break only
+    decides WHICH occurrence is recorded; the value set is identical
+    whenever window minima are unique, and is the deterministic
+    cross-engine quantity).
+
+    Distributed shape: SCAN-LOCAL — normalization, k-gram extraction,
+    hashing (md5 -> 60-bit int, engine-portable unlike xxhash64) and the
+    sliding window min are all higher-order array expressions on the
+    row. Zero shuffles, zero Python; survives any scale the scan does.
+    Each intermediate array is MATERIALIZED as a column before a lambda
+    touches it (inlined outer expressions re-evaluate PER ELEMENT —
+    the dup_ngram 406s->3s lesson).
+
+    Docs with fewer than ``w`` k-grams (but >= 1) degenerate to the
+    single global min; gram-less docs (len < k, incl. NULL text) get an
+    empty fingerprint.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   WS_PATTERN, " "))
+    step = df.withColumn("__wn", norm)
+    ln = F.length("__wn")
+    step = step.withColumn(
+        "__wg",
+        F.when(ln >= k, F.transform(
+            F.sequence(F.lit(1), ln - (k - 1)),
+            lambda i: F.col("__wn").substr(i, F.lit(k))))
+        .otherwise(F.array().cast("array<string>")))
+    step = step.withColumn(
+        "__wh",
+        F.transform("__wg", lambda g: F.conv(
+            F.substring(F.md5(F.encode(g, "UTF-8")), 1, 15), 16, 10)
+            .cast("long")))
+    h = F.col("__wh")
+    m = F.size(h)
+    sel = (
+        F.when(m >= w, F.array_distinct(F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda j: F.array_min(F.slice(h, j, w)))))
+        .when(m > 0, F.array(F.array_min(h)))
+        .otherwise(F.array().cast("array<long>")))
+    return (step.withColumns({"n_kgrams": m.cast("long"), out: sel})
+                .drop("__wn", "__wg", "__wh"))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Per-document winnowing digest: k-gram count, selected-set size,
+    order-independent modular checksum of the selected hashes, and the
+    selection density (~2/(w+1) expected for long docs).
+
+    Checksum domain: each hash is reduced mod 1e9+7 BEFORE summing, so
+    the sum stays far under int64 even for million-gram documents
+    (raw 60-bit hashes would overflow ANSI int64 after ~15 terms)."""
+    step = winnow_selected(df, text_col, k=k, w=w, out="__wsel")
+    sel = F.col("__wsel")
+    checksum = F.aggregate(
+        sel, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.pmod(x, F.lit(1_000_000_007)))
+    n_sel = F.size(sel).cast("long")
+    return (step.withColumns({
+                "n_selected": n_sel,
+                "winnow_checksum": checksum,
+                # exact int/int quotient: emit UNROUNDED, the division is
+                # bit-identical cross-engine (CLAUDE.md decimal-grid rule)
+                "winnow_density": F.try_divide(n_sel, F.col("n_kgrams")),
+            }).drop("__wsel"))
+
+
+def winnow_match_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 12, w: int = 4,
+                       min_shared: int = 3, df_cap: int = 100) -> DataFrame:
+    """MOSS-style containment detection: document pairs sharing >=
+    ``min_shared`` selected winnowing hashes.
+
+    ``k`` is the NOISE THRESHOLD (SIGMOD'03 §2): matches shorter than k
+    chars are noise and must not fire. The default k=12 (vs the
+    fingerprint digest's k=5) keeps natural-language k-grams
+    discriminative — at k=5 common English grams carry document
+    frequencies near the corpus size, and the posting-list self-join
+    degenerates toward sum(df^2) ~ O(|D|^2) per gram (measured: minutes
+    vs seconds on a 500-doc corpus).
+
+    Distributed shape: explode the per-doc fingerprint to (hash, id)
+    posting lists, drop hashes appearing in > ``df_cap`` documents (the
+    hot-shingle cap from ngram_jaccard_pairs — boilerplate k-grams would
+    otherwise quadratically blow up the self-join; recall trade for
+    >cap clusters is the same documented one), then a hash-equi
+    self-join and a pair-count aggregate. No all-pairs scan; candidate
+    space is bounded by sum(df^2) over surviving posting lists."""
+    # explode_OUTER, not explode — a Spark 4 optimizer trap (measured:
+    # 3 s -> stuck-for-minutes on 500 x 550-char docs, plan-verified):
+    # InferFiltersFromGenerate synthesizes `size(arr) > 0` under a
+    # non-outer Generate, PushDownPredicates then substitutes the whole
+    # winnow pipeline into that predicate on its way to the scan, and
+    # the substituted form re-expands "__wh" once per reference — the
+    # slice lambda re-hashes the m-gram array PER WINDOW, O(m^2) md5s
+    # per row. The rule skips outer generates; the explicit null filter
+    # on the GENERATOR OUTPUT replaces it and cannot be pushed below
+    # the Generate. (A repartition barrier does NOT help: the inferred
+    # filter pushes straight through RepartitionByExpression.)
+    sel = (winnow_selected(df, text_col, k=k, w=w, out="__wsel")
+           .select(F.col(id_col).alias("id"),
+                   F.explode_outer("__wsel").alias("whash"))
+           .where(F.col("whash").isNotNull()))
+    hot = (sel.groupBy("whash").agg(F.count(F.lit(1)).alias("__df"))
+              .where(F.col("__df") > df_cap).select("whash"))
+    cold = sel.join(F.broadcast(hot), "whash", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    pairs = (a.join(b, (F.col("a.whash") == F.col("b.whash"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return pairs.where(F.col("n_shared") >= min_shared)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out: str = "fingerprint") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized lowercase text.

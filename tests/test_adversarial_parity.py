@@ -174,6 +174,10 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         "gopher_quality", "pii_scrub", "dup_ngram_fraction",
         "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
         "orc_roundtrip", "stratified_sample",
+        # winnowing: NULL/empty text -> empty fingerprint (checksum 0,
+        # NULL density); sub-k and sub-w docs hit the degenerate
+        # global-min branch; the near-dup component exercises matching
+        "winnow_fingerprints", "winnow_match_pairs",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3

@@ -4,6 +4,7 @@ image decode stats, pHash integrity, PSNR payload invariant."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from ecg_feature_engineering_spark.datagen import codecs
 from ecg_feature_engineering_spark.datagen import images as datagen
@@ -188,3 +189,55 @@ def test_resize_images_kernel(spark):
                              src.loc[row["image_id"], "fmt"])
         np.testing.assert_array_equal(got_px,
                                       codecs.area_resize(orig, 16, 16))
+
+
+def test_decode_with_status_clean_corpus_matches_decode_stats(spark):
+    img = datagen.images_df(spark, 45, seed=11)
+    got = kernels.decode_with_status(img, keep=["image_id", "fmt"]) \
+        .toPandas().set_index("image_id").sort_index()
+    ref = kernels.decode_stats(img, keep=["image_id"]) \
+        .toPandas().set_index("image_id").sort_index()
+    assert bool(got["ok"].all())
+    assert set(got["error_kind"]) == {"ok"}
+    np.testing.assert_allclose(got["px_mean"].astype(float),
+                               ref["px_mean"], rtol=0, atol=0)
+    assert (got["decoded_w"].astype(int) == ref["decoded_w"]).all()
+
+
+def test_decode_with_status_classifies_and_survives(spark, tmp_path):
+    """One corrupt payload must quarantine its row, not abort the stage —
+    and every failure class lands in its own error_kind."""
+    pdf = datagen.images_df(spark, 30, seed=12).toPandas()
+    by_id = pdf.set_index("image_id", drop=False)
+
+    def mutate(row_id, fn):
+        i = by_id.index.get_loc(row_id)
+        pdf.loc[pdf.index[i], "bytes"] = fn(pdf.iloc[i]["bytes"])
+
+    ids = list(pdf["image_id"])
+    mutate(ids[0], lambda b: b[: len(b) // 2])          # truncated stream
+    mutate(ids[1], lambda b: b"XX" + bytes(b)[2:])      # clobbered magic
+    mutate(ids[2], lambda b: None)                      # NULL payload
+    mutate(ids[3], lambda b: b"")                       # empty payload
+    pdf.loc[pdf["image_id"] == ids[4], "fmt"] = "tiff"  # unknown format
+    df = spark.createDataFrame(pdf)
+    out = kernels.decode_with_status(df, keep=["image_id", "fmt"]) \
+        .toPandas().set_index("image_id")
+    assert out.loc[ids[0], "error_kind"] == "corrupt"
+    assert out.loc[ids[1], "error_kind"] == "bad_magic"
+    assert out.loc[ids[2], "error_kind"] == "null_payload"
+    assert out.loc[ids[3], "error_kind"] == "null_payload"
+    assert out.loc[ids[4], "error_kind"] == "unsupported_fmt"
+    good = out[out["ok"]]
+    assert len(good) == 25 and good["px_mean"].notna().all()
+    bad = out[~out["ok"]]
+    assert bad["px_mean"].isna().all() and bad["decoded_w"].isna().all()
+    # quarantine sink roundtrip: bad rows routed to parquet with their kind
+    q = kernels.decode_with_status(df, keep=["image_id", "fmt"]) \
+        .where(~F.col("ok")).select("image_id", "fmt", "error_kind")
+    qdir = str(tmp_path / "quarantine")
+    q.write.mode("overwrite").parquet(qdir)
+    back = spark.read.parquet(qdir)
+    assert back.count() == 5
+    assert set(r["error_kind"] for r in back.collect()) == {
+        "corrupt", "bad_magic", "null_payload", "unsupported_fmt"}

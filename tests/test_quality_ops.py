@@ -400,3 +400,72 @@ def test_quantile_discretize_matches_numpy(spark, sf_dir, events_pdf):
             assert got.loc[eid] == int((v > cuts).sum()), eid
     # all four buckets must be populated somewhere
     assert set(got.unique()) == {0, 1, 2, 3}
+
+
+# ---------------------------------------------------------------- winnowing
+def _winnow_ref(t: str | None, k: int = 5, w: int = 4):
+    """Independent Python oracle for value-set winnowing (SIGMOD'03)."""
+    import hashlib
+
+    if t is None:
+        return 0, set()
+    norm = re.sub(r"[ \t\n\x0B\f\r]+", " ", t.lower()).strip()
+    grams = ([norm[i:i + k] for i in range(len(norm) - k + 1)]
+             if len(norm) >= k else [])
+    h = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    if len(h) >= w:
+        sel = {min(h[j:j + w]) for j in range(len(h) - w + 1)}
+    elif h:
+        sel = {min(h)}
+    else:
+        sel = set()
+    return len(h), sel
+
+
+def test_winnow_fingerprints_match_python_oracle(docs_df):
+    out = {r["doc_id"]: r for r in
+           text.winnow_fingerprints(docs_df).select(
+               "doc_id", "n_kgrams", "n_selected", "winnow_checksum",
+               "winnow_density").collect()}
+    for doc_id, t, _, _ in DOCS:
+        m, sel = _winnow_ref(t)
+        r = out[doc_id]
+        assert r["n_kgrams"] == m, doc_id
+        assert r["n_selected"] == len(sel), doc_id
+        assert r["winnow_checksum"] == sum(x % 1_000_000_007
+                                           for x in sel), doc_id
+        if m > 0:
+            assert r["winnow_density"] == len(sel) / m
+        else:
+            assert r["winnow_density"] is None
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k+w-1 must yield a common
+    selected hash (the SIGMOD'03 winnowing guarantee), position-robustly."""
+    core = "zebra quantum fjord sphinx jackdaws love my big quartz"
+    rows = [(0, "PREFIX AAA " + core + " other tail words", "en", "s", 1),
+            (1, core + " totally different continuation here", "en", "s", 1),
+            (2, "no overlap with anything else at all qqq", "en", "s", 1)]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    pairs = text.winnow_match_pairs(df, min_shared=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found
+    assert all(2 not in p for p in found)
+    # selected sets genuinely intersect at the match-query k
+    _, s0 = _winnow_ref(rows[0][1], k=12)
+    _, s1 = _winnow_ref(rows[1][1], k=12)
+    assert len(s0 & s1) >= 3
+
+
+def test_winnow_density_bounds(docs_df):
+    """n_selected in [1, m-w+1] for m >= w (winnowing guarantees one
+    selection per window, dedup can only shrink)."""
+    for r in text.winnow_fingerprints(docs_df).collect():
+        m, ns = r["n_kgrams"], r["n_selected"]
+        if m >= 4:
+            assert 1 <= ns <= m - 3, r
+        elif m > 0:
+            assert ns == 1
+        else:
+            assert ns == 0
