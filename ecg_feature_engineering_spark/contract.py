@@ -3062,7 +3062,7 @@ def q_dup_ngram_fraction(spark, sf_dir):
 # winnowing). Mirrors text.winnow_selected exactly: generate_series/range
 # bounds, substr window, the '0x'||hex BIGINT cast, and the <w-gram
 # degenerate cases (global min for 1..3 grams, empty for gram-less docs).
-def _winnow_sql(k: int) -> str:
+def _winnow_sql(k: int, w: int = 4) -> str:
     return rf"""
 wnorm AS (
   SELECT doc_id,
@@ -3078,8 +3078,9 @@ wh AS (
 wsel AS (
   SELECT doc_id, len(h) AS m,
     CASE
-      WHEN len(h) >= 4 THEN list_distinct(list_transform(
-        range(1, len(h) - 2), j -> list_aggregate(h[j:j+3], 'min')))
+      WHEN len(h) >= {w} THEN list_distinct(list_transform(
+        range(1, len(h) - {w - 2}),
+        j -> list_aggregate(h[j:j+{w - 1}], 'min')))
       WHEN len(h) > 0 THEN [list_aggregate(h, 'min')]
       ELSE []
     END AS s

@@ -144,20 +144,27 @@ def decode_with_status(df, id_col: str = "image_id",
                 else:
                     try:
                         px = _decode_one(data, fmt).astype(np.float64)
+                        # structurally degenerate decodes (a crafted
+                        # header declaring zero area decodes without
+                        # raising) are corrupt, not ok — and the stats
+                        # reads stay inside the guard so a failure
+                        # there can never escape classification
+                        if px.ndim != 3 or px.size == 0:
+                            raise ValueError("degenerate decode shape")
+                        mean[i] = px.mean()
+                        dims[i] = (px.shape[1], px.shape[0])
                     except Exception:
                         kind[i] = "corrupt"
                     else:
                         ok[i] = True
                         kind[i] = "ok"
-                        mean[i] = px.mean()
-                        dims[i] = (px.shape[1], px.shape[0])
             out = b[keep].copy()
             out["ok"] = ok
             out["error_kind"] = kind
             # NaN -> NULL and NA-int plumbing: nullable dtypes make the
             # "stats are NULL for bad rows" contract explicit in Arrow
-            out["px_mean"] = pd.array(
-                np.where(ok, mean, np.nan), dtype="Float64")
+            # (mean stays NaN wherever classification failed)
+            out["px_mean"] = pd.array(mean, dtype="Float64")
             out["decoded_w"] = pd.array(
                 np.where(ok, dims[:, 0], None), dtype="Int32")
             out["decoded_h"] = pd.array(

@@ -4,6 +4,7 @@ image decode stats, pHash integrity, PSNR payload invariant."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ecg_feature_engineering_spark.datagen import codecs
@@ -241,3 +242,20 @@ def test_decode_with_status_classifies_and_survives(spark, tmp_path):
     assert back.count() == 5
     assert set(r["error_kind"] for r in back.collect()) == {
         "corrupt", "bad_magic", "null_payload", "unsupported_fmt"}
+
+
+def test_decode_with_status_degenerate_shape_is_corrupt(spark):
+    """A crafted header declaring zero area decodes without raising —
+    must classify 'corrupt', never ok-with-NULL-stats (review finding)."""
+    import struct
+
+    pdf = datagen.images_df(spark, 3, seed=13).toPandas()
+    pdf = pdf[pdf["fmt"] == "bmp"].iloc[:1].copy()
+    assert len(pdf) == 1
+    b = bytearray(pdf.iloc[0]["bytes"])
+    struct.pack_into("<ii", b, 18, 0, 8)  # width=0, height=8: zero area
+    pdf.loc[pdf.index[0], "bytes"] = bytes(b)
+    out = kernels.decode_with_status(spark.createDataFrame(pdf),
+                                     keep=["image_id"]).toPandas()
+    assert out.iloc[0]["error_kind"] == "corrupt"
+    assert not out.iloc[0]["ok"] and pd.isna(out.iloc[0]["px_mean"])
