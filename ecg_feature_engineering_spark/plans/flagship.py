@@ -24,6 +24,25 @@ from ecg_feature_engineering_spark.operators import asof, windows
 from ecg_feature_engineering_spark.operators.text import quality_features
 
 
+def screen_payloads(images: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Pre-flight payload screen for fault-tolerant ingest: classify every
+    payload with ``kernels.decode_with_status`` and split (good_images,
+    quarantine). ``good_images`` keeps the ORIGINAL image rows (payload
+    included) via a broadcast anti-join on the (rare) bad ids — the
+    full-width payload column never shuffles; ``quarantine`` is the thin
+    (image_id, fmt, error_kind) table for the quarantine sink.
+
+    At 10^12 rows this is one extra decode pass over the corpus; the
+    alternative — letting ``image_features`` hit the first corrupt
+    payload — aborts the stage (and with it every retry of the task)."""
+    status = kernels.decode_with_status(images, keep=["image_id", "fmt"])
+    bad = (status.where(~F.col("ok"))
+                 .select("image_id", "fmt", "error_kind"))
+    good = images.join(F.broadcast(bad.select("image_id")),
+                       "image_id", "left_anti")
+    return good, bad
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """Payload-side features: decoded-pixel stats + recomputed pHash +
     hamming-vs-stored + gradient/histogram/DCT block (one fused Arrow

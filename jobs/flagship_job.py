@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--checkpoint-root", required=True)
     ap.add_argument("--n-images", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--quarantine", action="store_true",
+                    help="pre-screen payloads (decode_with_status); "
+                         "corrupt/null/bad-magic rows are written to "
+                         "<output>_quarantine instead of aborting the "
+                         "decode stage")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,10 +67,27 @@ def main() -> None:
             return spark.read.parquet(args.images)
         return datagen.images_df(spark, args.n_images, args.seed, n_entities)
 
+    # optional stage 0: payload screen — corrupt rows to the quarantine
+    # sink, good rows (payload intact) on to the feature kernel
+    n_quarantined = 0
+    if args.quarantine:
+        def screened():
+            good, bad = fplan.screen_payloads(load_images())
+            bad.write.mode("overwrite").parquet(args.output + "_quarantine")
+            return good
+
+        feature_input = cp.run("payload_screen", screened)
+        n_quarantined = spark.read.parquet(
+            args.output + "_quarantine").count()
+    else:
+        feature_input = None
+
     # stage 1: payload features (the expensive decode pass — checkpointed
     # so a restart never re-decodes)
-    img_feats = cp.run("image_features",
-                       lambda: fplan.image_features(load_images()))
+    img_feats = cp.run(
+        "image_features",
+        lambda: fplan.image_features(
+            feature_input if feature_input is not None else load_images()))
     # stage 2: event window features
     ev_feats = cp.run(
         "event_features",
@@ -90,6 +112,7 @@ def main() -> None:
     metrics = cp.metrics()
     print(json.dumps({"stages": metrics,
                       "output_rows": features.count(),
+                      "quarantined_rows": n_quarantined,
                       "output": args.output}))
     with open(os.path.join(args.checkpoint_root, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)

@@ -89,3 +89,59 @@ def test_flagship_matches_golden_fixture(spark, sf_dir):
         else:
             assert got[c].where(got[c].notna(), None).tolist() == \
                 want[c].where(want[c].notna(), None).tolist(), c
+
+
+def test_screen_payloads_quarantines_and_preserves_features(spark):
+    """Fault-tolerant ingest: plant corruption, screen, and the surviving
+    rows' feature vectors must be IDENTICAL to running the clean subset
+    straight through image_features (screen changes membership, never
+    values)."""
+    from ecg_feature_engineering_spark.datagen import images as datagen
+    from ecg_feature_engineering_spark.plans import flagship as fplan
+
+    img = datagen.images_df(spark, 40, seed=21)
+    idx = F.substring("image_id", 4, 8).cast("int")
+    corrupted = img.withColumn(
+        "bytes",
+        F.when(idx % 8 == 1, F.lit(None).cast("binary"))
+         .when(idx % 8 == 5,
+               F.substring(F.col("bytes"), F.lit(1),
+                           (F.octet_length("bytes") / F.lit(2)).cast("int")))
+         .otherwise(F.col("bytes")))
+    good, bad = fplan.screen_payloads(corrupted)
+    bad_pdf = bad.toPandas()
+    assert len(bad_pdf) == 10  # 5 null + 5 truncated
+    assert set(bad_pdf["error_kind"]) == {"null_payload", "corrupt"}
+    got = fplan.image_features(good).toPandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    clean = img.join(bad.select("image_id"), "image_id", "left_anti")
+    want = fplan.image_features(clean).toPandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert len(got) == 30
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_flagship_job_quarantine_e2e(spark, sf_dir, tmp_path):
+    """The spark-submit surface end to end: flagship_job --quarantine on a
+    corpus whose payloads the job itself synthesizes, from a FOREIGN cwd
+    (zip-shipped imports), incl. resume metrics + quarantine sink."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/flagship_job.py",
+         "--events", f"{sf_dir}/events.parquet",
+         "--output", str(out), "--checkpoint-root", str(ckpt),
+         "--n-images", "80", "--quarantine"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    # the seeded corpus is clean -> nothing quarantined, sink exists
+    assert summary["quarantined_rows"] == 0
+    assert summary["output_rows"] > 0
+    assert spark.read.parquet(str(out) + "_quarantine").count() == 0
+    assert {"payload_screen", "image_features", "event_features",
+            "feature_vectors"} <= {s["stage"] for s in summary["stages"]}

@@ -35,15 +35,18 @@ def docs_dir(spark, tmp_path_factory):
 
 
 def test_streaming_quality_equals_batch(spark, docs_dir):
-    batch = text.pii_scrub(
-        text.dup_ngram_stats(
-            text.gopher_quality(spark.read.parquet(docs_dir)))) \
+    def chain(df):
+        # winnow_fingerprints included: the winnowing selection is
+        # scan-local array algebra, so it too runs unchanged on streams
+        return text.winnow_fingerprints(text.pii_scrub(
+            text.dup_ngram_stats(text.gopher_quality(df))))
+
+    batch = chain(spark.read.parquet(docs_dir)) \
         .toPandas().sort_values("doc_id").reset_index(drop=True)
 
     stream = (spark.readStream.schema(DOCS_DDL)
               .option("maxFilesPerTrigger", 1).parquet(docs_dir))
-    out = text.pii_scrub(
-        text.dup_ngram_stats(text.gopher_quality(stream)))
+    out = chain(stream)
     q = (out.writeStream.outputMode("append").format("memory")
          .queryName("text_stream").start())
     q.processAllAvailable()
