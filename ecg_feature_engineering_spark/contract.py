@@ -2303,6 +2303,36 @@ def q_sliding_time(spark, sf_dir):
     return _round(out, ["avg_value"])
 
 
+@register("ohlc_time_bars", """
+WITH v AS (
+  SELECT user_id, event_id, ts, value,
+    CAST(round(value * 100) AS BIGINT) AS qv,
+    (epoch_us(ts) // 21600000000) * 21600 AS bar_start_s
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, bar_start_s
+                               ORDER BY ts, event_id) AS rn
+  FROM v)
+SELECT user_id, CAST(bar_start_s AS BIGINT) AS bar_start_s,
+  min_by(value, rn) AS open_value,
+  max(value) AS high_value,
+  min(value) AS low_value,
+  max_by(value, rn) AS close_value,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(qv) AS BIGINT) / 100.0 AS sum_value
+FROM r GROUP BY user_id, bar_start_s
+""")
+def q_ohlc_time_bars(spark, sf_dir):
+    """6-hour OHLC bars (time-bar downsample with first/last order
+    statistics — the resample op tumbling_time_windows' count/sum/avg
+    family lacks). open/close via min_by/max_by on the (ts, event_id)
+    rank; exact-cents sum (no rounding anywhere: order statistics and
+    exact integer arithmetic only)."""
+    ev = _events(spark, sf_dir)
+    return windows.ohlc_time_bars(ev, 21600, "value", "user_id", "ts",
+                                  "event_id")
+
+
 @register("anchor_window_aggs", """
 WITH anchors AS (
   SELECT user_id, event_id AS anchor_id,
@@ -3630,6 +3660,7 @@ QUERY_ORDER: list[str] = [
     "embedding_centroids", "target_encoding_pit", "expanding_zscore",
     "stratified_sample", "daily_type_rollup_outer", "quantile_buckets",
     "winnow_fingerprints", "winnow_match_pairs", "decode_quarantine",
+    "ohlc_time_bars",
 ]
 
 

@@ -208,6 +208,51 @@ def tumbling_time_aggs(df: DataFrame, length_seconds: float,
     )
 
 
+def ohlc_time_bars(df: DataFrame, bar_seconds: int, value: str = "value",
+                   by="entity_id", order: str = "ts",
+                   tiebreak: str = "event_id") -> DataFrame:
+    """Time-bar downsampling (the OHLC resample): per (entity, bar) the
+    first / max / min / last observation plus count and exact-cents sum —
+    the feature-eng complement of ``tumbling_time_aggs`` (count/sum/avg
+    only): open/close are ORDER STATISTICS, new semantics vs plain aggs.
+
+    Parity-exact by construction: bar alignment is integer microsecond
+    floordiv (``DIV`` — double division of a ~2^60 epoch_us would round
+    at exact bar boundaries); open/close are picked by min_by/max_by on
+    the (ts, tiebreak) row_number — no arithmetic on values at all; the
+    sum goes through the integer-cents grid. NULL values are excluded up
+    front: bars summarize PRESENT observations (an all-NULL bar
+    vanishes), which keeps the min_by ordering total. Positive-epoch
+    precondition: Spark ``DIV`` truncates toward zero while DuckDB
+    ``//`` floors — identical for the testdata's post-1970 domain.
+
+    One shuffle on (by, bar): the row_number window and the aggregate
+    share the partitioning; Catalyst reuses the exchange."""
+    by = [by] if isinstance(by, str) else list(by)
+    zero = F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+    us = F.timestamp_diff("MICROSECOND", zero, F.col(order))
+    bar_us = int(bar_seconds) * 1_000_000
+    v = (df.where(F.col(value).isNotNull())
+           .withColumn("__us", us)
+           # true integer DIV — `/` on longs detours through double,
+           # and a ~2^60 numerator rounds before dividing (boundary
+           # events could land in the neighboring bar)
+           .withColumn("__bar",
+                       F.expr(f"(__us DIV {bar_us}) * {int(bar_seconds)}"))
+           .withColumn("__qv", F.round(F.col(value) * 100).cast("long"))
+           .drop("__us"))
+    rn = F.row_number().over(
+        Window.partitionBy(*by, "__bar").orderBy(order, tiebreak))
+    v = v.withColumn("__rn", rn)
+    return (v.groupBy(*by, F.col("__bar").alias("bar_start_s"))
+             .agg(F.min_by(value, "__rn").alias("open_value"),
+                  F.max(value).alias("high_value"),
+                  F.min(value).alias("low_value"),
+                  F.max_by(value, "__rn").alias("close_value"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  (F.sum("__qv") / F.lit(100.0)).alias("sum_value")))
+
+
 def sliding_time_aggs(df: DataFrame, length_seconds: float,
                       slide_seconds: float, value: str = "value",
                       by="entity_id", order: str = "ts") -> DataFrame:

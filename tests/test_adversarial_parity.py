@@ -146,6 +146,9 @@ def test_tie_order_parity(spark, duck, ties_dir):
         "expanding_zscore",
         # FULL OUTER day matching over tied/duplicated timestamps
         "daily_type_rollup_outer", "quantile_buckets",
+        # open/close picked by the tied (ts, event_id) rank — tie-break
+        # contract is the whole point of min_by/max_by on row_number
+        "ohlc_time_bars",
     ], ties_dir)
 
 
@@ -245,6 +248,9 @@ def test_null_value_parity(spark, duck, nulls_dir):
         "daily_type_rollup_outer",
         # NULL values keep NULL buckets; cut points skip them
         "quantile_buckets",
+        # NULL values excluded up front; the all-NULL entity's bars
+        # must VANISH (never emit a NULL-open bar)
+        "ohlc_time_bars",
     ], nulls_dir)
 
 

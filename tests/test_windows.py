@@ -137,3 +137,27 @@ def test_leakage_rolling_frames_trailing_only(spark, sf_dir):
            .where(F.col("ts") < cutoff).select("event_id", "m").toPandas()
            .set_index("event_id")["m"])
     np.testing.assert_array_equal(base[got.index].to_numpy(), got.to_numpy())
+
+
+def test_ohlc_time_bars_matches_pandas(spark, sf_dir, events_pdf):
+    got = (windows.ohlc_time_bars(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        21600, "value", "user_id", "ts", "event_id")
+        .toPandas().set_index(["user_id", "bar_start_s"]).sort_index())
+    pdf = events_pdf[events_pdf["value"].notna()].copy()
+    us = pdf["ts"].astype("int64") // 1000  # ns -> us, tz-naive
+    pdf["bar"] = (us // 21_600_000_000) * 21600
+    pdf = pdf.sort_values(["ts", "event_id"])
+    grp = pdf.groupby(["user_id", "bar"])["value"]
+    want = grp.agg(["first", "max", "min", "last", "count"])
+    want["sum"] = pdf.assign(
+        qv=(pdf["value"] * 100).round().astype("int64")
+    ).groupby(["user_id", "bar"])["qv"].sum() / 100.0
+    assert len(got) == len(want)
+    for (uid, bar), row in want.iterrows():
+        g = got.loc[(uid, bar)]
+        assert g["open_value"] == row["first"], (uid, bar)
+        assert g["close_value"] == row["last"], (uid, bar)
+        assert g["high_value"] == row["max"] and g["low_value"] == row["min"]
+        assert g["n_events"] == row["count"]
+        assert g["sum_value"] == row["sum"], (uid, bar)
