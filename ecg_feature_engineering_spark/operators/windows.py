@@ -210,7 +210,8 @@ def tumbling_time_aggs(df: DataFrame, length_seconds: float,
 
 def ohlc_time_bars(df: DataFrame, bar_seconds: int, value: str = "value",
                    by="entity_id", order: str = "ts",
-                   tiebreak: str = "event_id") -> DataFrame:
+                   tiebreak: str = "event_id",
+                   sum_scale: int | None = 100) -> DataFrame:
     """Time-bar downsampling (the OHLC resample): per (entity, bar) the
     first / max / min / last observation plus count and exact-cents sum —
     the feature-eng complement of ``tumbling_time_aggs`` (count/sum/avg
@@ -220,27 +221,42 @@ def ohlc_time_bars(df: DataFrame, bar_seconds: int, value: str = "value",
     floordiv (``DIV`` — double division of a ~2^60 epoch_us would round
     at exact bar boundaries); open/close are picked by min_by/max_by on
     the (ts, tiebreak) row_number — no arithmetic on values at all; the
-    sum goes through the integer-cents grid. NULL values are excluded up
-    front: bars summarize PRESENT observations (an all-NULL bar
-    vanishes), which keeps the min_by ordering total. Positive-epoch
-    precondition: Spark ``DIV`` truncates toward zero while DuckDB
-    ``//`` floors — identical for the testdata's post-1970 domain.
+    sum goes through an integer grid. ``sum_scale`` is the GRID
+    CONTRACT: 100 fits the testdata's cents values; pass the quantity's
+    true decimal scale, or None for a plain float sum when the values
+    are not on a decimal grid (round(x*scale) is only exact ON the
+    grid — CLAUDE.md). NULL values are excluded up front: bars
+    summarize PRESENT observations (an all-NULL bar vanishes), which
+    keeps the min_by ordering total. Positive-epoch precondition: Spark
+    ``DIV`` truncates toward zero while DuckDB ``//`` floors —
+    identical for the testdata's post-1970 domain.
 
     One shuffle on (by, bar): the row_number window and the aggregate
     share the partitioning; Catalyst reuses the exchange."""
     by = [by] if isinstance(by, str) else list(by)
-    zero = F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
-    us = F.timestamp_diff("MICROSECOND", zero, F.col(order))
+    # epoch micros by timestamp flavor, session-tz-independent for BOTH:
+    # NTZ measures from the naive epoch (the ntz_epoch_seconds contract);
+    # LTZ is an absolute instant — unix_micros reads it directly
+    if df.schema[order].dataType.simpleString() == "timestamp_ntz":
+        zero = F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+        us = F.timestamp_diff("MICROSECOND", zero, F.col(order))
+    else:
+        us = F.unix_micros(F.col(order))
     bar_us = int(bar_seconds) * 1_000_000
+    sum_col = (
+        (F.sum("__qv") / F.lit(float(sum_scale))).alias("sum_value")
+        if sum_scale is not None
+        else F.sum(value).alias("sum_value"))
     v = (df.where(F.col(value).isNotNull())
            .withColumn("__us", us)
            # true integer DIV — `/` on longs detours through double,
            # and a ~2^60 numerator rounds before dividing (boundary
            # events could land in the neighboring bar)
            .withColumn("__bar",
-                       F.expr(f"(__us DIV {bar_us}) * {int(bar_seconds)}"))
-           .withColumn("__qv", F.round(F.col(value) * 100).cast("long"))
-           .drop("__us"))
+                       F.expr(f"(__us DIV {bar_us}) * {int(bar_seconds)}")))
+    if sum_scale is not None:
+        v = v.withColumn(
+            "__qv", F.round(F.col(value) * sum_scale).cast("long"))
     rn = F.row_number().over(
         Window.partitionBy(*by, "__bar").orderBy(order, tiebreak))
     v = v.withColumn("__rn", rn)
@@ -250,7 +266,7 @@ def ohlc_time_bars(df: DataFrame, bar_seconds: int, value: str = "value",
                   F.min(value).alias("low_value"),
                   F.max_by(value, "__rn").alias("close_value"),
                   F.count(F.lit(1)).alias("n_events"),
-                  (F.sum("__qv") / F.lit(100.0)).alias("sum_value")))
+                  sum_col))
 
 
 def sliding_time_aggs(df: DataFrame, length_seconds: float,

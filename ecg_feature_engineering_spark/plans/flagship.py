@@ -24,23 +24,33 @@ from ecg_feature_engineering_spark.operators import asof, windows
 from ecg_feature_engineering_spark.operators.text import quality_features
 
 
-def screen_payloads(images: DataFrame) -> tuple[DataFrame, DataFrame]:
+def screen_payloads(images: DataFrame) -> DataFrame:
     """Pre-flight payload screen for fault-tolerant ingest: classify every
-    payload with ``kernels.decode_with_status`` and split (good_images,
-    quarantine). ``good_images`` keeps the ORIGINAL image rows (payload
-    included) via a broadcast anti-join on the (rare) bad ids — the
-    full-width payload column never shuffles; ``quarantine`` is the thin
-    (image_id, fmt, error_kind) table for the quarantine sink.
+    payload with ``kernels.decode_with_status`` and return the THIN
+    quarantine table (image_id, fmt, error_kind) of undecodable rows.
 
-    At 10^12 rows this is one extra decode pass over the corpus; the
+    MATERIALIZE this table (checkpoint stage / parquet sink) before
+    anti-joining it back — deriving good rows from the un-materialized
+    DataFrame re-runs the decode lineage, i.e. a second full-corpus
+    decode pass. flagship_job checkpoints it as stage 0, which makes the
+    quarantine sink itself atomic, lineage-tracked, and resumable. The
     alternative — letting ``image_features`` hit the first corrupt
     payload — aborts the stage (and with it every retry of the task)."""
     status = kernels.decode_with_status(images, keep=["image_id", "fmt"])
-    bad = (status.where(~F.col("ok"))
-                 .select("image_id", "fmt", "error_kind"))
-    good = images.join(F.broadcast(bad.select("image_id")),
-                       "image_id", "left_anti")
-    return good, bad
+    return status.where(~F.col("ok")).select("image_id", "fmt",
+                                             "error_kind")
+
+
+def without_quarantined(images: DataFrame,
+                        quarantine: DataFrame) -> DataFrame:
+    """Original image rows (payload intact) minus the quarantined ids —
+    an anti-join with NO forced broadcast: corruption is usually rare
+    (AQE broadcasts the thin side by itself), but a systematic upstream
+    fault can mark a large fraction bad, and a hinted broadcast would
+    OOM the driver exactly in the widespread-failure case the screen
+    exists to survive."""
+    return images.join(quarantine.select("image_id"), "image_id",
+                       "left_anti")
 
 
 def image_features(images: DataFrame) -> DataFrame:

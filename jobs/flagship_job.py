@@ -39,9 +39,10 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--quarantine", action="store_true",
                     help="pre-screen payloads (decode_with_status); "
-                         "corrupt/null/bad-magic rows are written to "
-                         "<output>_quarantine instead of aborting the "
-                         "decode stage")
+                         "corrupt/null/bad-magic rows land in the "
+                         "checkpointed quarantine table "
+                         "(<checkpoint-root>/payload_screen/data) "
+                         "instead of aborting the decode stage")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,9 +57,13 @@ def main() -> None:
     _c.ensure_workers_can_import(spark)
     # hash only the DATA-affecting inputs: --output/--checkpoint-root
     # don't change stage contents, so changing them must not force a
-    # full re-decode (the resume contract)
+    # full re-decode (the resume contract). --quarantine IS data-
+    # affecting (it changes downstream row membership), so toggling it
+    # on a resume invalidates the stages instead of silently serving
+    # the other mode's data.
     data_params = {k: v for k, v in vars(args).items()
-                   if k in ("events", "images", "n_images", "seed")}
+                   if k in ("events", "images", "n_images", "seed",
+                            "quarantine")}
     cp = StageCheckpointer(spark, args.checkpoint_root, params=data_params)
     n_entities = max(args.n_images // 20, 2)
 
@@ -67,18 +72,19 @@ def main() -> None:
             return spark.read.parquet(args.images)
         return datagen.images_df(spark, args.n_images, args.seed, n_entities)
 
-    # optional stage 0: payload screen — corrupt rows to the quarantine
-    # sink, good rows (payload intact) on to the feature kernel
+    # optional stage 0: payload screen. The checkpointed stage IS the
+    # quarantine sink (<checkpoint-root>/payload_screen/data — atomic,
+    # lineage-tracked, survives --output changes on resume); cp.run
+    # returns the READ-BACK thin table, so the anti-join below never
+    # re-runs the decode lineage (one screen pass total), and only
+    # (image_id, fmt, error_kind) is ever checkpointed — never a second
+    # copy of the payload corpus.
     n_quarantined = 0
     if args.quarantine:
-        def screened():
-            good, bad = fplan.screen_payloads(load_images())
-            bad.write.mode("overwrite").parquet(args.output + "_quarantine")
-            return good
-
-        feature_input = cp.run("payload_screen", screened)
-        n_quarantined = spark.read.parquet(
-            args.output + "_quarantine").count()
+        quarantine = cp.run(
+            "payload_screen", lambda: fplan.screen_payloads(load_images()))
+        n_quarantined = quarantine.count()
+        feature_input = fplan.without_quarantined(load_images(), quarantine)
     else:
         feature_input = None
 

@@ -108,10 +108,11 @@ def test_screen_payloads_quarantines_and_preserves_features(spark):
                F.substring(F.col("bytes"), F.lit(1),
                            (F.octet_length("bytes") / F.lit(2)).cast("int")))
          .otherwise(F.col("bytes")))
-    good, bad = fplan.screen_payloads(corrupted)
+    bad = fplan.screen_payloads(corrupted)
     bad_pdf = bad.toPandas()
     assert len(bad_pdf) == 10  # 5 null + 5 truncated
     assert set(bad_pdf["error_kind"]) == {"null_payload", "corrupt"}
+    good = fplan.without_quarantined(corrupted, bad)
     got = fplan.image_features(good).toPandas() \
         .sort_values("image_id").reset_index(drop=True)
     clean = img.join(bad.select("image_id"), "image_id", "left_anti")
@@ -139,9 +140,25 @@ def test_flagship_job_quarantine_e2e(spark, sf_dir, tmp_path):
         cwd=str(tmp_path), capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-3000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
-    # the seeded corpus is clean -> nothing quarantined, sink exists
+    # the seeded corpus is clean -> nothing quarantined; the sink is the
+    # checkpointed stage table (survives --output changes on resume)
     assert summary["quarantined_rows"] == 0
     assert summary["output_rows"] > 0
-    assert spark.read.parquet(str(out) + "_quarantine").count() == 0
+    assert spark.read.parquet(
+        str(ckpt / "payload_screen" / "data")).count() == 0
     assert {"payload_screen", "image_features", "event_features",
             "feature_vectors"} <= {s["stage"] for s in summary["stages"]}
+    # resume with a DIFFERENT --output (explicitly supported: only data
+    # params hash) — every stage incl. the quarantine sink must be
+    # served from the checkpoint, not recomputed or re-located
+    r2 = subprocess.run(
+        [sys.executable, "/root/repo/jobs/flagship_job.py",
+         "--events", f"{sf_dir}/events.parquet",
+         "--output", str(tmp_path / "out2"),
+         "--checkpoint-root", str(ckpt),
+         "--n-images", "80", "--quarantine"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["quarantined_rows"] == 0
+    assert s2["output_rows"] == summary["output_rows"]
