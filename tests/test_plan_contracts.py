@@ -51,6 +51,18 @@ def _counts(df):
     ("rank_features", 1, 0),
     ("target_encoding_pit", 1, 0),
     ("expanding_zscore", 1, 0),
+    # winnowing selection is per-row array algebra — zero shuffles; the
+    # InferFiltersFromGenerate regression (PERF.md) would reappear as a
+    # wall-clock hang, but the match-pairs budget (df-cap agg + anti-join
+    # + pair agg over the final aggregate) pins the posting-list shape
+    ("winnow_fingerprints", 0, 0),
+    ("winnow_match_pairs", 4, 0),
+    # one (entity, bar) shuffle shared by the rank window and the agg
+    ("ohlc_time_bars", 1, 0),
+    # quarantine rides the corpus scan: ZERO shuffles; 2 Python stages
+    # = the seeded-corpus mapInPandas synthesis + the status kernel
+    # (a production read replaces the first with a parquet scan)
+    ("decode_quarantine", 0, 2),
 ])
 def test_query_shuffle_budget(spark, sf_dir, name, max_shuffles,
                               max_python):
