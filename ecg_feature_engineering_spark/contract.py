@@ -1794,9 +1794,16 @@ def q_sample_entropy(spark, sf_dir):
 
 # Naive-DFT periodogram CTE (fs=1): one-sided density scaling identical to
 # periodogram_np (double all bins but DC/even-Nyquist). A radix FFT and
-# these plain trig sums agree to ~5e-9 absolute on this data, so FFT-backed
-# queries round to 2 decimals (band magnitudes are 1e4-1e6 — still a sharp
-# check, and the boundary is 6 orders above the numeric noise).
+# these plain trig sums agree to ~5e-9 absolute on this data — but that is
+# NOT enough for round(band_sum, 2): a value within the algorithmic error
+# of a .005 boundary flips cross-run (driver r3 fft_features hash-FAIL).
+# Both FFT queries therefore FLOOR each bin onto the unit grid (pxq CTE /
+# kernel quantize=1.0) BEFORE summing: bins run 1e0-1e6 so the check stays
+# sharp, band sums become exact float64 integers (bit-identical across
+# engines), and the flip window shrinks from 1e-6 to ~1e-8 per value.
+# Domain note: floor-grid stability needs pxx * n * eps << 1 grid unit,
+# i.e. per-bin power below ~1e10 at n ~ 1e4 — testdata DC bins top out
+# ~1e7 (adversarial fftedge corpus pins the margin).
 _DFT_CTE = """
 s AS (
   SELECT user_id, value,
@@ -1824,39 +1831,42 @@ px AS (
 
 
 @register("fft_band_power", f"""
-WITH {_DFT_CTE}
+WITH {_DFT_CTE},
+pxq AS (SELECT user_id, n, k, f, floor(pxx) AS pxx FROM px)
 SELECT user_id,
-  round(CASE WHEN max(n) < 4 THEN 0 ELSE
-    coalesce(sum(pxx) FILTER (WHERE f >= 0   AND f < 0.05), 0) END, 2)
+  (CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0   AND f < 0.05), 0) END)::DOUBLE
     AS band0,
-  round(CASE WHEN max(n) < 4 THEN 0 ELSE
-    coalesce(sum(pxx) FILTER (WHERE f >= 0.05 AND f < 0.1), 0) END, 2)
+  (CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.05 AND f < 0.1), 0) END)::DOUBLE
     AS band1,
-  round(CASE WHEN max(n) < 4 THEN 0 ELSE
-    coalesce(sum(pxx) FILTER (WHERE f >= 0.1 AND f < 0.2), 0) END, 2)
+  (CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.1 AND f < 0.2), 0) END)::DOUBLE
     AS band2,
-  round(CASE WHEN max(n) < 4 THEN 0 ELSE
-    coalesce(sum(pxx) FILTER (WHERE f >= 0.2 AND f < 0.3), 0) END, 2)
+  (CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.2 AND f < 0.3), 0) END)::DOUBLE
     AS band3,
-  round(CASE WHEN max(n) < 4 THEN 0 ELSE
-    coalesce(sum(pxx) FILTER (WHERE f >= 0.3 AND f < 0.4), 0) END, 2)
+  (CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.3 AND f < 0.4), 0) END)::DOUBLE
     AS band4,
-  round(CASE WHEN max(n) < 4 THEN 0 ELSE
-    coalesce(sum(pxx) FILTER (WHERE f >= 0.4 AND f < 0.5), 0) END, 2)
+  (CASE WHEN max(n) < 4 THEN 0 ELSE
+    coalesce(sum(pxx) FILTER (WHERE f >= 0.4 AND f < 0.5), 0) END)::DOUBLE
     AS band5,
-  round(CASE WHEN max(n) < 4 THEN 0 ELSE sum(pxx) END, 2) AS total_power
-FROM px GROUP BY user_id
+  (CASE WHEN max(n) < 4 THEN 0 ELSE sum(pxx) END)::DOUBLE AS total_power
+FROM pxq GROUP BY user_id
 """)
 def q_fft(spark, sf_dir):
     """U6 — per-entity periodogram band powers. Oracle: naive-DFT
     trig-sum periodogram in DuckDB (O(n^2/2) per entity — oracle-only
-    cost; the engine side stays the rfft kernel)."""
+    cost; the engine side stays the rfft kernel). Same FLOOR-grid
+    hash-stability contract as `fft_features` (r4): per-bin floor onto
+    the unit grid before band sums on both sides, outputs are exact
+    integers in float64 emitted unrounded — round(raw_sum, 2) was the
+    r3 cross-run flip class (P ~ 1e-6 per value; this query's r3 green
+    was 1050 rounded values of luck per run)."""
     ev = _events(spark, sf_dir)
-    out = kernels.fft_band_power_agg(ev, "value", "user_id", _ORDER,
-                                     fs=1.0)
-    return _round(out, [c for c in
-                        ("band0", "band1", "band2", "band3", "band4", "band5",
-                         "total_power")], n=2)
+    return kernels.fft_band_power_agg(ev, "value", "user_id", _ORDER,
+                                      fs=1.0, quantize=1.0)
 
 
 _FLAGSHIP_DIGEST_SQL = """
@@ -2382,6 +2392,14 @@ def q_anchor_window_aggs(spark, sf_dir):
 
 @register("fft_features", f"""
 WITH {_DFT_CTE},
+pxq AS (
+  -- drift-proofing (driver r3 hash-FAIL): FLOOR each bin onto the unit
+  -- grid BEFORE any band sum. Engine (numpy rfft) and oracle (naive DFT)
+  -- agree to ~5e-9 absolute while bins run 1e0-1e6, so floor flips only
+  -- within 5e-9 of an integer (P ~ 1e-8/bin) — vs round(sum, 2), which
+  -- flips within 5e-9 of a .005 boundary (P ~ 1e-6/value; observed).
+  -- Every downstream band/total is then an EXACT integer in float64.
+  SELECT user_id, n, k, f, floor(pxx) AS pxx FROM px),
 agg AS (
   SELECT user_id, max(n) AS n,
     coalesce(sum(pxx) FILTER (WHERE k >= 0
@@ -2399,15 +2417,15 @@ agg AS (
     sum(pxx) AS total,
     coalesce(sum(pxx) FILTER (WHERE f < 0.1), 0) AS sig,
     coalesce(sum(pxx) FILTER (WHERE f >= 0.1), 0) AS noise
-  FROM px GROUP BY user_id)
+  FROM pxq GROUP BY user_id)
 SELECT user_id,
-  round(CASE WHEN n < 4 THEN 0 ELSE b0 END, 2) AS band0,
-  round(CASE WHEN n < 4 THEN 0 ELSE b1 END, 2) AS band1,
-  round(CASE WHEN n < 4 THEN 0 ELSE b2 END, 2) AS band2,
-  round(CASE WHEN n < 4 THEN 0 ELSE b3 END, 2) AS band3,
-  round(CASE WHEN n < 4 THEN 0 ELSE b4 END, 2) AS band4,
-  round(CASE WHEN n < 4 THEN 0 ELSE b5 END, 2) AS band5,
-  round(CASE WHEN n < 4 THEN 0 ELSE total END, 2) AS total_power,
+  (CASE WHEN n < 4 THEN 0 ELSE b0 END)::DOUBLE AS band0,
+  (CASE WHEN n < 4 THEN 0 ELSE b1 END)::DOUBLE AS band1,
+  (CASE WHEN n < 4 THEN 0 ELSE b2 END)::DOUBLE AS band2,
+  (CASE WHEN n < 4 THEN 0 ELSE b3 END)::DOUBLE AS band3,
+  (CASE WHEN n < 4 THEN 0 ELSE b4 END)::DOUBLE AS band4,
+  (CASE WHEN n < 4 THEN 0 ELSE b5 END)::DOUBLE AS band5,
+  (CASE WHEN n < 4 THEN 0 ELSE total END)::DOUBLE AS total_power,
   round(CASE WHEN n >= 4 AND (b0 + b1 + b2 + b3 + b4 + b5) > 0 THEN -(
       (CASE WHEN b0 > 0 THEN (b0 / (b0+b1+b2+b3+b4+b5))
                              * ln(b0 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END)
@@ -2421,8 +2439,8 @@ SELECT user_id,
                              * ln(b4 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END)
     + (CASE WHEN b5 > 0 THEN (b5 / (b0+b1+b2+b3+b4+b5))
                              * ln(b5 / (b0+b1+b2+b3+b4+b5)) ELSE 0 END))
-    ELSE 0 END, 6) AS band_entropy,
-  round(CASE WHEN n >= 4 AND noise > 0 THEN sig / noise ELSE 0 END, 6)
+    ELSE 0 END, 6) + 0.0 AS band_entropy,
+  (CASE WHEN n >= 4 AND noise > 0 THEN sig / noise ELSE 0 END) + 0.0
     AS snr
 FROM agg
 """)
@@ -2432,13 +2450,22 @@ def q_fft_features(spark, sf_dir):
     naive-DFT CTE as `fft_band_power` with the reference's
     int(edge*nfft/fs) index partition (degenerate at fs=1: band0 absorbs
     the whole one-sided spectrum — faithfully mirrored, entropy of a
-    single band is exactly 0 on both sides)."""
+    single band is exactly 0 on both sides).
+
+    Hash-stability contract (r3 driver FAIL fixed): every bin is
+    FLOOR-quantized onto the unit grid before band sums on BOTH sides
+    (``quantize=1.0`` in the kernel, ``floor(pxx)`` in the CTE), so
+    bands/total/sig/noise are exact integers in float64 and emitted
+    UNROUNDED; snr is then a bit-identical quotient of exact integers
+    (CLAUDE.md: never round an exact int/int quotient); band_entropy is
+    the only transcendental (identical integer inputs → <= a few ulps of
+    ln() divergence, round 6 is 10 orders above that). -0.0 canon on
+    entropy/snr (engine ``-sum(...)`` of a 0.0 is IEEE -0.0)."""
     ev = _events(spark, sf_dir)
     out = kernels.fft_features_agg(ev, "value", "user_id", _ORDER,
-                                   fs=1.0, snr_cut_hz=0.1)
-    out = _round(out, ["band0", "band1", "band2", "band3", "band4",
-                       "band5", "total_power"], n=2)
-    return _round(out, ["band_entropy", "snr"])
+                                   fs=1.0, snr_cut_hz=0.1, quantize=1.0)
+    out = _round(out, ["band_entropy"])
+    return _canon_zero(out, ["band_entropy", "snr"])
 
 
 _WAVELET_DIGEST_SQL = """
@@ -3236,11 +3263,16 @@ FROM documents GROUP BY lang
 
 
 def _roundtrip_tmp(sf_dir: str, tag: str) -> str:
+    # pid in the path: two concurrent sessions against the same sf_dir
+    # must not share a sink (one would overwrite while the other reads
+    # it back — ADVICE r3). Within one process the path is stable, so a
+    # re-run of the query reuses/overwrites its own sink deterministically.
     import hashlib
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"efes_{tag}_{key}")
+    return os.path.join(tempfile.gettempdir(),
+                        f"efes_{tag}_{key}_p{os.getpid()}")
 
 
 @register("jsonl_roundtrip", _ROUNDTRIP_ORACLE)
@@ -3601,58 +3633,32 @@ def q_quantile_buckets(spark, sf_dir):
 # =====================================================================
 # The round driver certifies (rows+schema+value-hash vs the DuckDB oracle)
 # exactly the FIRST 50 entries of queries() in iteration order
-# (VERDICT r2, verified against CORRECTNESS_r01/r02). Registration order
-# above is file-layout order; this list is the driver-facing order:
-#   #1-#5   the five r2 hash-FAIL queries (DuckDB HUGEINT artifact, now
-#           CAST in their oracles) — must re-certify green,
-#   #6-#32  the 27 oracle-backed queries that have never been inside the
-#           window (registered past slot 50 in r1/r2),
-#   #33-#40 the eight digest-oracled queries (ANN trio, both composites,
-#           and the late-r3 flagship/wavelet/spectrogram conversions —
-#           rotated in so NOTHING oracle-backed is left uncertified
-#           after r3),
-#   #41-#50 one previously-★ sentinel per operator family (regression
-#           canaries: relational core, as-of, stats, windows, text,
-#           dedup, ANN-exact, multimodal),
-#   #51+    queries already driver-certified in r1/r2 (COVERAGE.md records
-#           which round certified each).
+# (VERDICT r2, verified against CORRECTNESS_r01/r02/r03). Registration
+# order above is file-layout order; this list is the driver-facing order.
+# r4 window (VERDICT r3 next-round #2 executed):
+#   #1-#2   the FLOOR-grid-hardened FFT pair — fft_features was r3's one
+#           hash-FAIL and fft_band_power shares the (now fixed) fragile
+#           round(raw_sum, 2) contract; both contracts CHANGED this round
+#           and must (re-)certify green,
+#   #3-#9   the late-r3 media batch (dup_clusters + audio x4 + video x2),
+#           never driver-run,
+#   #10-#31 the late-r3 batch-2/3 set (quality filters, sketches, format
+#           roundtrips, skew demo, PIT feature engineering, winnowing,
+#           quarantine, OHLC), never driver-run,
+#   #32-#50 nineteen previously-green sentinels, one per operator family
+#           (relational core, as-of, joins, stats x2, windows, text x2,
+#           dedup x3, ANN x2, multimodal x2, composites x2, splits,
+#           metrics) — regression canaries,
+#   #51+    queries already driver-certified in r1/r2/r3 (COVERAGE.md
+#           records which round certified each).
 QUERY_ORDER: list[str] = [
-    # -- 1-5: HUGEINT-cast re-certification
-    "variability", "sessionize", "session_aggs", "crossing_count",
-    "zigzag",
-    # -- 6-32: never-yet-certified oracle-backed
-    "sample_entropy", "sample_entropy_qrs", "fft_band_power",
-    "fft_features", "variability_full", "qrs_yuxi", "crossing_widths",
-    "anchor_window_aggs", "anchor_fiducials_kernel", "cdf_density",
-    "rdensity", "per_lead_summary", "nan_scrub", "pivot_one_hot",
-    "smooth_labels", "seeded_shuffle", "balance_classes", "scale_input",
-    "dataset_profile", "minmax_scalar_prepass", "rollup_returns",
-    "distinct_thresholds_desc", "tumbling_time_windows",
-    "sliding_time_windows", "phash_near_dups", "image_psnr_roundtrip",
-    "image_resize",
-    # -- 33-40: digest-oracled this round
-    "lsh_topk", "embedding_near_dup", "ivf_topk", "e3_pipeline",
-    "long_features_parity", "flagship", "wavelet_stats", "spectrogram",
-    # -- 41-50: previously-green sentinels, one per family
-    "tpch_pricing_summary", "asof_backward", "hrv_features",
-    "basic_stats", "sliding_segments", "langid", "dedup_exact",
-    "minhash_lsh", "cosine_topk", "image_decode_stats",
-    # -- 51+: certified in r1/r2
-    "shipping_priority", "asof_forward", "asof_tolerance",
-    "nation_revenue", "top_customers", "rank_orders_per_customer",
-    "semi_join_active_customers", "anti_join_dormant_customers",
-    "recode_lang", "lag_diffs", "long_stats", "coeff_of_variation",
-    "ffill", "rolling_stats", "rolling_median3", "trim_endpoints",
-    "bin_stat", "mad", "autocorr", "word_explode", "token_counts",
-    "quality_features", "exact_dup_groups", "ngram_jaccard",
-    "simhash_fingerprints", "simhash_near_dups", "hash_split",
-    "beta_scores", "auc_scores", "deep_features", "image_phash_check",
-    # -- added late r3 (past the frozen r3 window; r4 rotates them in)
+    # -- 1-2: changed contracts (FLOOR-grid FFT hardening) — must certify
+    "fft_features", "fft_band_power",
+    # -- 3-9: late-r3 media batch, never driver-run
     "dup_clusters",
     "audio_decode_stats", "audio_spectral", "audio_resample",
     "audio_transcode_snr", "video_stats", "video_frame_sample",
-    # -- late-r3 batch 2: quality filters, sketches, format roundtrips,
-    #    skew demo (all oracle-backed; r4 rotates them in)
+    # -- 10-31: late-r3 batch 2/3, never driver-run
     "gopher_quality", "pii_scrub", "dup_ngram_fraction",
     "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
     "orc_roundtrip", "salted_skew_counts", "time_features",
@@ -3661,6 +3667,32 @@ QUERY_ORDER: list[str] = [
     "stratified_sample", "daily_type_rollup_outer", "quantile_buckets",
     "winnow_fingerprints", "winnow_match_pairs", "decode_quarantine",
     "ohlc_time_bars",
+    # -- 32-50: previously-green sentinels, one per family
+    "tpch_pricing_summary", "asof_backward", "anchor_window_aggs",
+    "hrv_features", "basic_stats", "sliding_segments", "langid",
+    "quality_features", "dedup_exact", "minhash_lsh",
+    "simhash_near_dups", "cosine_topk", "lsh_topk",
+    "image_decode_stats", "image_psnr_roundtrip", "flagship",
+    "wavelet_stats", "hash_split", "auc_scores",
+    # -- 51+: certified in r1/r2/r3
+    "variability", "sessionize", "session_aggs", "crossing_count",
+    "zigzag", "sample_entropy", "sample_entropy_qrs", "variability_full",
+    "qrs_yuxi", "crossing_widths", "anchor_fiducials_kernel",
+    "cdf_density", "rdensity", "per_lead_summary", "nan_scrub",
+    "pivot_one_hot", "smooth_labels", "seeded_shuffle", "balance_classes",
+    "scale_input", "dataset_profile", "minmax_scalar_prepass",
+    "rollup_returns", "distinct_thresholds_desc", "tumbling_time_windows",
+    "sliding_time_windows", "phash_near_dups", "image_resize",
+    "embedding_near_dup", "ivf_topk", "e3_pipeline",
+    "long_features_parity", "spectrogram",
+    "shipping_priority", "asof_forward", "asof_tolerance",
+    "nation_revenue", "top_customers", "rank_orders_per_customer",
+    "semi_join_active_customers", "anti_join_dormant_customers",
+    "recode_lang", "lag_diffs", "long_stats", "coeff_of_variation",
+    "ffill", "rolling_stats", "rolling_median3", "trim_endpoints",
+    "bin_stat", "mad", "autocorr", "word_explode", "token_counts",
+    "exact_dup_groups", "ngram_jaccard", "simhash_fingerprints",
+    "beta_scores", "deep_features", "image_phash_check",
 ]
 
 

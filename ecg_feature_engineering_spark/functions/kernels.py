@@ -583,9 +583,12 @@ def periodogram_np(x: np.ndarray, fs: float) -> tuple[np.ndarray, np.ndarray]:
 
 def fft_band_power_agg(df, value: str = "value", by: str = "entity_id",
                        order: str = "ts", fs: float = 1.0,
-                       bands: list[tuple[float, float]] | None = None):
+                       bands: list[tuple[float, float]] | None = None,
+                       quantize: float | None = None):
     """Per-entity spectral band powers (A16/U6): periodogram then band sums.
-    Band edges follow the reference's [lo, hi) half-open convention."""
+    Band edges follow the reference's [lo, hi) half-open convention.
+    ``quantize``: optional per-bin FLOOR grid (see fft_features_agg —
+    the independent-oracle hash-stability contract)."""
     # order may be one column or a tie-breaking list, e.g.
     # ("ts", "event_id") — duplicate timestamps sort deterministically
     order_cols = [order] if isinstance(order, str) else list(order)
@@ -601,6 +604,8 @@ def fft_band_power_agg(df, value: str = "value", by: str = "entity_id",
             row["total_power"] = 0.0
         else:
             freqs, pxx = periodogram_np(x, fs)
+            if quantize is not None:
+                pxx = np.floor(pxx / quantize) * quantize
             for i, (lo, hi) in enumerate(bands):
                 row[f"band{i}"] = float(pxx[(freqs >= lo) & (freqs < hi)].sum())
             row["total_power"] = float(pxx.sum())
@@ -618,13 +623,24 @@ def fft_band_power_agg(df, value: str = "value", by: str = "entity_id",
 def fft_features_agg(df, value: str = "value", by: str = "entity_id",
                      order: str = "ts", fs: float = 300.0,
                      partition_hz: list[float] | None = None,
-                     snr_cut_hz: float = 5.0):
+                     snr_cut_hz: float = 5.0,
+                     quantize: float | None = None):
     """A16-A19 fused — the reference's LONG FFT family in one periodogram
     pass (fixing its 3x recompute, LONG_features.py:270-281):
     index-partitioned band powers (LongFFTBandPower :121-138 convention —
     edges mapped to bin indices int(f*nfft/fs)), total power (:140-151),
     Shannon entropy of the band distribution (:153-171), and SNR =
-    power(<cut)/power(>=cut) (:173-191)."""
+    power(<cut)/power(>=cut) (:173-191).
+
+    ``quantize``: optional per-bin FLOOR grid applied to the periodogram
+    BEFORE any band sum. With it, every band/total is an exact small
+    integer multiple of the grid (exact in float64), the SNR is a
+    bit-identical quotient of exact sums, and entropy is the only
+    transcendental left — this is what makes an independent-algorithm
+    oracle (naive DFT, ~5e-9 absolute agreement with rfft) hash-stable:
+    round()ing raw band sums flips on .5*10^-k boundaries cross-run
+    (driver r3 fft_features FAIL), floor on a grid 8 orders above the
+    algorithmic noise does not."""
     # order may be one column or a tie-breaking list, e.g.
     # ("ts", "event_id") — duplicate timestamps sort deterministically
     order_cols = [order] if isinstance(order, str) else list(order)
@@ -640,6 +656,8 @@ def fft_features_agg(df, value: str = "value", by: str = "entity_id",
             row.update(total_power=0.0, band_entropy=0.0, snr=0.0)
         else:
             freqs, pxx = periodogram_np(x, fs)
+            if quantize is not None:
+                pxx = np.floor(pxx / quantize) * quantize
             nfft = len(x)
             idx = [int(h * nfft / fs) for h in partition_hz]
             p = [float(pxx[idx[i]:idx[i + 1]].sum()) for i in range(n_bands)]

@@ -128,7 +128,16 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``passes_gopher`` flag. All closed-form JVM expressions; thresholds
     compare int-ratio doubles, deterministic across engines."""
     t = F.col(text_col)
-    ws = words(t)
+    # Materialize the split + lowered word arrays as COLUMNS before any
+    # higher-order lambda references them: outer expressions re-evaluate
+    # once per lambda ELEMENT (the dup_ngram 406s->3s trap, CLAUDE.md) —
+    # an inline `words(t)` under the 10-entry stoplist filter below would
+    # re-split and re-lower the whole document ~10x per row (ADVICE r3).
+    tmp = df.withColumn("__gq_ws", words(t))
+    tmp = tmp.withColumn("__gq_wsl",
+                         F.transform(F.col("__gq_ws"), lambda x: F.lower(x)))
+    ws = F.col("__gq_ws")
+    ws_lower = F.col("__gq_wsl")
     n_words = F.size(ws)
     wl_sum = F.aggregate(F.transform(ws, lambda x: F.length(x)),
                          F.lit(0), lambda acc, v: acc + v)
@@ -143,7 +152,6 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     # distinct-stopword count as containment over the fixed stoplist —
     # NOT array_intersect: intersect's dedup semantics are an engine
     # detail, containment over a 10-element literal list is not
-    ws_lower = F.transform(ws, lambda x: F.lower(x))
     n_stop_distinct = F.size(F.filter(
         F.array(*[F.lit(s) for s in STOPWORDS_EN]),
         lambda s: F.array_contains(ws_lower, s)))
@@ -154,7 +162,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (alpha_frac >= 0.8)
         & (n_stop_distinct >= 2)
     )
-    return df.withColumns({
+    return tmp.withColumns({
         "n_words_g": n_words.cast("long"),
         "mean_word_len_g": mean_wl,
         "symbol_word_ratio": sym_ratio,
@@ -163,7 +171,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         # null text -> every signal is NULL -> passes must be NULL-safe
         # false (a doc with no text never passes the filter)
         "passes_gopher": F.coalesce(passes, F.lit(False)),
-    })
+    }).drop("__gq_ws", "__gq_wsl")
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text",

@@ -283,6 +283,82 @@ def const_dir(spark, tmp_path_factory):
     return str(root)
 
 
+@pytest.fixture(scope="module")
+def fftedge_dir(spark, tmp_path_factory):
+    """Engineered FFT rounding-boundary corpus (VERDICT r3 #1): series
+    built to maximize rfft-vs-naive-DFT divergence inside the floor-grid
+    domain and to sit ON every frequency/index partition boundary.
+    - user 1: n=600 with a large DC offset (DC bin ~ (sum x)^2/n ~ 1e7,
+      near the testdata ceiling) + pure tones placed EXACTLY at the
+      f=0.05/0.1/0.2/0.3/0.4 band edges and at the SNR cut 0.1 (k = edge*n
+      integral by construction) — the [lo, hi) half-open contract and the
+      f = k*(1/n) ulp-match both bind on every edge.
+    - user 2: n=512 power-of-two (radix-2 fastpath) white-ish series —
+      hundreds of O(1e0-1e2) bins where round(sum,2)-class contracts are
+      most flip-prone.
+    - user 3: n=5 minimal non-guard series (one bin per band boundary
+      cliff at trunc(1.5*n)=7 > n//2: degenerate empty high bands)."""
+    root = tmp_path_factory.mktemp("fftedge")
+    rng = np.random.default_rng(7)
+    rows, eid = [], 0
+
+    n1 = 600
+    t = np.arange(n1)
+    x1 = (180.0
+          + 40.0 * np.cos(2 * np.pi * 0.05 * t)
+          + 30.0 * np.cos(2 * np.pi * 0.10 * t + 0.3)
+          + 20.0 * np.cos(2 * np.pi * 0.20 * t + 1.1)
+          + 10.0 * np.cos(2 * np.pi * 0.30 * t + 2.2)
+          + 5.0 * np.cos(2 * np.pi * 0.40 * t + 0.7)
+          + rng.normal(0, 3.0, n1))
+    n2 = 512
+    x2 = rng.uniform(1, 500, n2)
+    x3 = np.array([10.0, 400.0, 30.0, 250.0, 90.0])
+    for u, xs in ((1, x1), (2, x2), (3, x3)):
+        for v in xs:
+            rows.append((eid, pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=eid), u, "view", float(v)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{root}/events.parquet")
+    return str(root)
+
+
+def test_fft_boundary_parity(spark, duck, fftedge_dir):
+    """The floor-grid contract must hash-match EXACTLY (the _compare
+    float path is exact-equality via isclose on identical values; the
+    real assertion is the bit-exact band/snr check below) on a corpus
+    where the old round(raw_sum, 2) contract measurably diverges between
+    rfft and the naive DFT."""
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM "
+                 f"'{fftedge_dir}/events.parquet/*.parquet'")
+    _compare(spark, duck, ["fft_band_power", "fft_features"], fftedge_dir)
+    # bit-exactness, not closeness: bands/total/snr must be IDENTICAL
+    # float64 (exact integers / exact-int quotients) — the driver hashes
+    # bits, and isclose would mask a last-ulp regression
+    sdf = contract.QUERY_BUILDERS["fft_features"](
+        spark, fftedge_dir).toPandas().sort_values("user_id")
+    odf = duck.execute(contract.ORACLES["fft_features"]).df() \
+        .sort_values("user_id")
+    for c in ("band0", "band1", "band2", "band3", "band4", "band5",
+              "total_power", "snr"):
+        sa = sdf[c].to_numpy()
+        ob = odf[c].to_numpy()
+        assert (sa == ob).all(), (c, sa, ob)
+    for c in ("band0", "band1", "band2", "band3", "band4", "band5",
+              "total_power"):
+        assert (sdf[c] == np.floor(sdf[c])).all(), f"{c} not on unit grid"
+    # sharpness: the engineered tones must actually land power in the
+    # edge bands (a vacuously-zero band certifies nothing)
+    bp = contract.QUERY_BUILDERS["fft_band_power"](
+        spark, fftedge_dir).toPandas()
+    u1 = bp[bp["user_id"] == 1].iloc[0]
+    assert all(u1[f"band{i}"] > 1000 for i in range(6)), u1.to_dict()
+
+
 def test_constant_series_parity(spark, duck, const_dir):
     contract.ensure_workers_can_import(spark)
     duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM "

@@ -149,33 +149,46 @@ def test_certification_window_composition():
     window = names[:50]
     missing_oracle = [n for n in window if n not in o]
     assert not missing_oracle, missing_oracle
-    # the last three digest conversions (r3 late) are rotated INTO the
-    # window — after r3 every oracle-backed query has been inside a
-    # certification window at least once
-    for n in ("flagship", "wavelet_stats", "spectrogram"):
-        assert n in window
-        assert n in o  # since r3: pinned-digest oracles, no rows-only left
-    # every query past slot 50 is oracle-backed too: r1/r2-certified
-    # sentinels plus the late-r3 additions (dup_clusters + media), which
-    # are locally parity-green and rotate into the r4 window
+    # every query past slot 50 is oracle-backed too — after the r4
+    # rotation NOTHING registered is oracle-less
     assert all(n in o for n in names[50:])
-    # the r3 window is FROZEN — position-pinned so registry edits cannot
+    # the r4 window must lead with the two changed-contract FFT queries
+    # and contain every late-r3 never-driver-run query (VERDICT r3 #2)
+    late_r3 = [
+        "dup_clusters", "audio_decode_stats", "audio_spectral",
+        "audio_resample", "audio_transcode_snr", "video_stats",
+        "video_frame_sample", "gopher_quality", "pii_scrub",
+        "dup_ngram_fraction", "approx_distinct_docs", "doc_quantiles",
+        "jsonl_roundtrip", "orc_roundtrip", "salted_skew_counts",
+        "time_features", "winsorize_events", "ewma_events",
+        "rank_features", "embedding_centroids", "target_encoding_pit",
+        "expanding_zscore", "stratified_sample", "daily_type_rollup_outer",
+        "quantile_buckets", "winnow_fingerprints", "winnow_match_pairs",
+        "decode_quarantine", "ohlc_time_bars",
+    ]
+    assert window[:2] == ["fft_features", "fft_band_power"]
+    assert all(n in window for n in late_r3)
+    # the r4 window is FROZEN — position-pinned so registry edits cannot
     # silently displace what the driver will certify (COVERAGE.md ledger)
     assert window == [
-        "variability", "sessionize", "session_aggs", "crossing_count",
-        "zigzag", "sample_entropy", "sample_entropy_qrs", "fft_band_power",
-        "fft_features", "variability_full", "qrs_yuxi", "crossing_widths",
-        "anchor_window_aggs", "anchor_fiducials_kernel", "cdf_density",
-        "rdensity", "per_lead_summary", "nan_scrub", "pivot_one_hot",
-        "smooth_labels", "seeded_shuffle", "balance_classes", "scale_input",
-        "dataset_profile", "minmax_scalar_prepass", "rollup_returns",
-        "distinct_thresholds_desc", "tumbling_time_windows",
-        "sliding_time_windows", "phash_near_dups", "image_psnr_roundtrip",
-        "image_resize", "lsh_topk", "embedding_near_dup", "ivf_topk",
-        "e3_pipeline", "long_features_parity", "flagship", "wavelet_stats",
-        "spectrogram", "tpch_pricing_summary", "asof_backward",
+        "fft_features", "fft_band_power",
+        "dup_clusters",
+        "audio_decode_stats", "audio_spectral", "audio_resample",
+        "audio_transcode_snr", "video_stats", "video_frame_sample",
+        "gopher_quality", "pii_scrub", "dup_ngram_fraction",
+        "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
+        "orc_roundtrip", "salted_skew_counts", "time_features",
+        "winsorize_events", "ewma_events", "rank_features",
+        "embedding_centroids", "target_encoding_pit", "expanding_zscore",
+        "stratified_sample", "daily_type_rollup_outer", "quantile_buckets",
+        "winnow_fingerprints", "winnow_match_pairs", "decode_quarantine",
+        "ohlc_time_bars",
+        "tpch_pricing_summary", "asof_backward", "anchor_window_aggs",
         "hrv_features", "basic_stats", "sliding_segments", "langid",
-        "dedup_exact", "minhash_lsh", "cosine_topk", "image_decode_stats",
+        "quality_features", "dedup_exact", "minhash_lsh",
+        "simhash_near_dups", "cosine_topk", "lsh_topk",
+        "image_decode_stats", "image_psnr_roundtrip", "flagship",
+        "wavelet_stats", "hash_split", "auc_scores",
     ]
 
 
