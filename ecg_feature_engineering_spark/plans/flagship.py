@@ -128,6 +128,25 @@ def feature_plan(images: DataFrame, snapshots: DataFrame,
     img_feats = image_features(images)
     ev_feats = event_features(events, n_entities)
 
+    # Project each right side to ONLY the as-of-carried columns the plan
+    # emits before the union+window: the per-source pack struct blocks
+    # Catalyst's column pruning through the window fill, so every column
+    # still present here rides the as-of shuffle+sort — the biggest
+    # exchange in the plan. image_features computes a wider block (DCT
+    # band energies, gradient/histogram stats, extra caption ratios) than
+    # this plan's output; dropping the ~15 unused fields cuts ~120 B/row
+    # off the shuffle payload (VERDICT r3 #4).
+    img_feats = img_feats.select(
+        "entity_id", "ts", "image_id",
+        "px_mean", "px_std", "luma_mean", "luma_std",
+        "r_mean", "g_mean", "b_mean", "decoded_w", "decoded_h",
+        "phash_recomputed", "phash_hamming", "phash_bits", "phash_prefix",
+        "n_words", "mean_word_len", "punct_ratio", "stopword_ratio")
+    ev_feats = ev_feats.select(
+        "entity_id", "ts", "value", "value_diff1", "value_diff2",
+        "roll_mean", "roll_min", "roll_max", "roll_std", "roll_n",
+        "session_id", "session_event_n")
+
     # both right sides in ONE union+window pass: one shuffle+sort on the
     # entity key instead of two (asof.asof_join_many)
     with_all = asof.asof_join_many(
