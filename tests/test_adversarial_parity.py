@@ -284,6 +284,76 @@ def const_dir(spark, tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def barties_dir(spark, tmp_path_factory):
+    """Bar-boundary-tie corpus for the time-bar family (VERDICT r3 #7):
+    events landing EXACTLY on 6-hour (21600 s) bar boundaries — the
+    ohlc_time_bars alignment class where a double-rounded epoch division
+    would misplace a boundary event — plus duplicate-(ts) pairs AT a
+    boundary (open/close rank tie-break exactly where bar membership
+    changes) and +/-1 s straddles.
+    2024-01-01 00:00:00 epoch (1704067200) is divisible by 21600, so
+    offset k*21600 s sits ON a bar edge."""
+    root = tmp_path_factory.mktemp("barties")
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+
+    def add(u, sec_off, val):
+        nonlocal eid
+        rows.append((eid, base + pd.Timedelta(seconds=sec_off), u,
+                     ["view", "click"][eid % 2], val))
+        eid += 1
+
+    # u1: two events at each exact boundary (tied ts, event_id breaks) —
+    # open must be the lower event_id's value, close the higher's
+    for k in range(5):
+        add(1, k * 21600, 100.25 + k)
+        add(1, k * 21600, 200.75 + k)
+    # u2: straddles — 1 s before, exactly on, 1 s after three boundaries
+    for k in range(1, 4):
+        add(2, k * 21600 - 1, 10.5 * k)
+        add(2, k * 21600, 20.25 * k)
+        add(2, k * 21600 + 1, 30.75 * k)
+    # u3: one bar with an interior duplicate-ts TRIPLE (rank must order
+    # all three) and min/max away from open/close
+    for off, v in ((100, 50.0), (7200, 499.99), (7200, 1.01),
+                   (7200, 250.5), (21599, 75.25)):
+        add(3, off, v)
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value"])
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{root}/events.parquet")
+    return str(root)
+
+
+def test_bar_boundary_parity(spark, duck, barties_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW events AS SELECT * FROM "
+                 f"'{barties_dir}/events.parquet/*.parquet'")
+    _compare(spark, duck, [
+        "ohlc_time_bars", "tumbling_time_windows", "sliding_time_windows",
+        "sessionize", "session_aggs",
+    ], barties_dir)
+    # structure pin (parity alone could be 'wrong together'): u1's five
+    # boundary bars each hold exactly their 2 tied events, open from the
+    # lower event_id, close from the higher
+    bars = contract.QUERY_BUILDERS["ohlc_time_bars"](
+        spark, barties_dir).toPandas()
+    u1 = bars[bars["user_id"] == 1].sort_values("bar_start_s")
+    assert len(u1) == 5 and (u1["n_events"] == 2).all()
+    assert (u1["open_value"].to_numpy()
+            == [100.25 + k for k in range(5)]).all()
+    assert (u1["close_value"].to_numpy()
+            == [200.75 + k for k in range(5)]).all()
+    # u2: the on-boundary event belongs to the NEW bar (floor semantics)
+    # bar0: {21599}; bar1: {21600, 21601, 43199}; bar2: {43200, 43201,
+    # 64799}; bar3: {64800, 64801}
+    u2 = bars[bars["user_id"] == 2].sort_values("bar_start_s")
+    assert (u2["n_events"].to_numpy() == [1, 3, 3, 2]).all()
+    assert (u2["bar_start_s"].to_numpy()
+            == [1704067200 + k * 21600 for k in range(4)]).all()
+
+
+@pytest.fixture(scope="module")
 def fftedge_dir(spark, tmp_path_factory):
     """Engineered FFT rounding-boundary corpus (VERDICT r3 #1): series
     built to maximize rfft-vs-naive-DFT divergence inside the floor-grid
