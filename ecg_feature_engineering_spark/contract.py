@@ -28,6 +28,7 @@ from ecg_feature_engineering_spark.datagen import video as datagen_video
 from ecg_feature_engineering_spark.functions import kernels, media_kernels
 from ecg_feature_engineering_spark.operators import (
     asof,
+    corpus,
     dedup,
     joins,
     metrics,
@@ -3628,6 +3629,105 @@ def q_quantile_buckets(spark, sf_dir):
     return out.select("event_id", "user_id", "value_qbucket")
 
 
+_BM25_QUERY_TERMS = ("data", "model", "training", "quality", "image")
+"""Fixed query-term list for the bm25_scores contract (lowercase)."""
+
+
+@register("tfidf_top_terms", r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text),
+                                             '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+    -- association mirrors the engine exactly: (tf * ln(N/df)) * 1e6
+    CAST(floor(tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / dfc.df::DOUBLE)
+               * 1000000.0::DOUBLE) AS BIGINT) AS tfidf_micro
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+  WHERE tf.tf >= 2),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf_micro
+FROM rk WHERE rank <= 5
+""")
+def q_tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF top terms (scale addition — retrieval-signal analog
+    of the reference's per-signal summary stats, QRS_features.py): top-5
+    terms per doc by the EXACT integer tuple (tf DESC, df ASC, term),
+    annotated with tf*ln(N/df) FLOOR-quantized to BIGINT micros. Float
+    ranking would flip the emitted row SET on cross-engine ln() ulp
+    noise; integer ranking confines that noise to one value column
+    (operators/corpus.py module contract)."""
+    d = _t(spark, sf_dir, "documents")
+    out = corpus.tfidf_top_terms(d, k=5, min_tf=2)
+    return out.select("doc_id", F.col("rank").cast("long").alias("rank"),
+                      "term", "tf", "df", "tfidf_micro")
+
+
+@register("bm25_scores", r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(text),
+                                             '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+docs AS (
+  SELECT doc_id,
+    coalesce(len(list_filter(regexp_split_to_array(lower(text),
+                                                   '[ \t\n\x0B\f\r]+'),
+                             x -> x <> '')), 0)::BIGINT AS dl
+  FROM documents),
+qt AS (SELECT * FROM tf
+       WHERE term IN ('data', 'model', 'training', 'quality', 'image')),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM qt GROUP BY term),
+consts AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS dl_sum
+           FROM docs),
+per AS (
+  -- float association mirrors the engine term-for-term:
+  --   ((((idf * tf) * (1.2+1.0)) / denom) * 1e6), with
+  --   idf   = ln((N - df + 0.5) / (df + 0.5))
+  --   denom = tf + 1.2 * (0.25 + 0.75 * (dl / (dl_sum / N)))
+  -- (k1+1 is written 1.2::DOUBLE + 1.0::DOUBLE, NOT the literal 2.2:
+  -- the engine adds the doubles and 2.2's repr is a different double)
+  SELECT qt.doc_id,
+    CAST(floor(
+      ln((consts.n_docs::DOUBLE - dfc.df::DOUBLE + 0.5::DOUBLE)
+         / (dfc.df::DOUBLE + 0.5::DOUBLE))
+      * qt.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE)
+      / (qt.tf::DOUBLE + 1.2::DOUBLE *
+         (0.25::DOUBLE + 0.75::DOUBLE *
+          (d.dl::DOUBLE / (consts.dl_sum::DOUBLE / consts.n_docs::DOUBLE))))
+      * 1000000.0::DOUBLE) AS BIGINT) AS c_micro
+  FROM qt JOIN dfc USING (term) JOIN docs d USING (doc_id)
+  CROSS JOIN consts),
+sc AS (SELECT doc_id, sum(c_micro)::BIGINT AS bm25_micro,
+              count(*)::BIGINT AS n_terms_matched
+       FROM per GROUP BY doc_id)
+SELECT d.doc_id, d.dl,
+  coalesce(sc.n_terms_matched, 0)::BIGINT AS n_terms_matched,
+  coalesce(sc.bm25_micro, 0)::BIGINT AS bm25_micro
+FROM docs d LEFT JOIN sc USING (doc_id)
+""")
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 of every document against a fixed 5-term query (scale
+    addition). Per-term contributions FLOOR-quantized to BIGINT micros
+    BEFORE the per-doc sum — a float sum's value depends on partition
+    visit order; the integer sum does not (operators/corpus.py). Docs
+    with no match score 0 (corpus-side left join)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bm25_scores(d, list(_BM25_QUERY_TERMS))
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -3693,6 +3793,8 @@ QUERY_ORDER: list[str] = [
     "bin_stat", "mad", "autocorr", "word_explode", "token_counts",
     "exact_dup_groups", "ngram_jaccard", "simhash_fingerprints",
     "beta_scores", "deep_features", "image_phash_check",
+    # -- added r4 past the frozen window (r5 rotates them in)
+    "tfidf_top_terms", "bm25_scores",
 ]
 
 

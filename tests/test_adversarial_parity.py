@@ -181,6 +181,11 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # NULL density); sub-k and sub-w docs hit the degenerate
         # global-min branch; the near-dup component exercises matching
         "winnow_fingerprints", "winnow_match_pairs",
+        # corpus stats under NULL/empty/exotic-whitespace text: N counts
+        # every doc (nulls dilute idf), no query term matches -> every
+        # bm25 score is exactly 0, tfidf rank ties ("the the the...")
+        # break on the integer (tf, df, term) tuple
+        "tfidf_top_terms", "bm25_scores",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3
@@ -446,3 +451,67 @@ def test_constant_series_parity(spark, duck, const_dir):
         # constant series: every cut equals the value -> bucket 0 for all
         "quantile_buckets",
     ], const_dir)
+
+
+@pytest.fixture(scope="module")
+def corpusstats_dir(spark, tmp_path_factory):
+    """Documents engineered for the corpus-stats (TF-IDF / BM25) edge
+    classes: a query term in MORE than half the corpus (negative BM25
+    idf -> floor of a negative contribution), a doc that is one term
+    repeated many times (tf saturation), docs with zero query-term
+    matches (left-join zero-score arm), exact (tf, df) rank ties
+    resolved only by the term string, and a single-token doc (dl=1)."""
+    root = tmp_path_factory.mktemp("corpusstats")
+    docs = pd.DataFrame({
+        "doc_id": range(10),
+        "text": [
+            # 'data' in 6 of 10 docs -> df=6 > N/2 -> idf < 0
+            "data systems need data and more data",
+            "data pipelines move data",
+            "the data lake",
+            "data quality checks guard the data lake",
+            "model training uses data",
+            "big data",
+            # tf saturation: one term repeated
+            "model model model model model model model model",
+            # zero query-term matches
+            "the quick brown fox jumps over the lazy dog",
+            # (tf, df) tie: 'alpha' and 'beta' both tf=2 here and df=1
+            # corpus-wide -> rank decided by the term string alone
+            "alpha beta alpha beta",
+            # dl=1
+            "training",
+        ],
+        "lang": ["en"] * 10,
+    })
+    docs["source"] = [f"s{i % 2}" for i in range(10)]
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_corpus_stats_parity(spark, duck, corpusstats_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                 f"'{corpusstats_dir}/documents.parquet/*.parquet'")
+    _compare(spark, duck, ["tfidf_top_terms", "bm25_scores"],
+             corpusstats_dir)
+    # parity could be 'wrong together' — pin the structure the fixture
+    # plants. BM25: 'data' df=6 of N=10 -> idf = ln(4.5/6.5) < 0, so doc
+    # 5 ('big data', nothing else) must score NEGATIVE; doc 7 (no query
+    # terms) exactly 0; doc 6 matches only 'model'.
+    bm = contract.QUERY_BUILDERS["bm25_scores"](
+        spark, corpusstats_dir).toPandas().set_index("doc_id")
+    assert bm.loc[5, "bm25_micro"] < 0
+    assert bm.loc[7, "bm25_micro"] == 0 and bm.loc[7, "n_terms_matched"] == 0
+    assert bm.loc[6, "n_terms_matched"] == 1
+    assert bm.loc[9, "dl"] == 1
+    # TF-IDF: doc 8's alpha/beta tie on (tf=2, df=1) -> term string
+    # breaks it: alpha ranks 1, beta ranks 2; equal integer inputs give
+    # BIT-identical micro scores
+    tt = contract.QUERY_BUILDERS["tfidf_top_terms"](
+        spark, corpusstats_dir).toPandas()
+    d8 = tt[tt["doc_id"] == 8].sort_values("rank")
+    assert list(d8["term"]) == ["alpha", "beta"]
+    assert d8["tfidf_micro"].nunique() == 1
