@@ -13,6 +13,12 @@ Scaling evidence (north rule, sandbox stand-in for N vs 4N executors):
   SPARK_GRAFT_CPUS=8 python bench.py   # N
   SPARK_GRAFT_CPUS=32 python bench.py  # 4N
 results summarized in BENCH.md.
+
+Runtime/footprint: full run ~25-30 min (scaling block with interleaved
+4/16-core pairs + 2M-image e2e audit + 2-pass headline) and ~7 GB of
+staged corpora under /tmp (once, reused across runs).
+BENCH_SKIP_SCALING=1 -> headline-only (~5 min);
+BENCH_E2E_AUDIT_PAIRS=0 -> skip just the 2M audit.
 """
 
 from __future__ import annotations

@@ -3263,17 +3263,47 @@ FROM documents GROUP BY lang
 """
 
 
+_ROUNDTRIP_CLEANUP_REGISTERED = False
+
+
 def _roundtrip_tmp(sf_dir: str, tag: str) -> str:
     # pid in the path: two concurrent sessions against the same sf_dir
     # must not share a sink (one would overwrite while the other reads
     # it back — ADVICE r3). Within one process the path is stable, so a
     # re-run of the query reuses/overwrites its own sink deterministically.
+    #
+    # Leak control (pid paths never self-overwrite across processes):
+    # this process's sinks are deleted at interpreter exit (atexit —
+    # they must survive until the driver materializes the lazy
+    # read-back), and sinks abandoned by crashed/killed processes are
+    # swept by age (>1 day is safely past any live session; sweeping by
+    # liveness/pid would race a concurrent starting session).
+    import atexit
+    import glob
     import hashlib
+    import shutil
     import tempfile
+    import time as _time
+
+    tmpdir = tempfile.gettempdir()
+    global _ROUNDTRIP_CLEANUP_REGISTERED
+    if not _ROUNDTRIP_CLEANUP_REGISTERED:
+        _ROUNDTRIP_CLEANUP_REGISTERED = True
+        mine = f"_p{os.getpid()}"
+        atexit.register(lambda: [
+            shutil.rmtree(d, ignore_errors=True)
+            for d in glob.glob(os.path.join(tmpdir, "efes_*"))
+            if d.endswith(mine)])
+        cutoff = _time.time() - 86400
+        for d in glob.glob(os.path.join(tmpdir, "efes_*")):
+            try:
+                if os.path.getmtime(d) < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(),
-                        f"efes_{tag}_{key}_p{os.getpid()}")
+    return os.path.join(tmpdir, f"efes_{tag}_{key}_p{os.getpid()}")
 
 
 @register("jsonl_roundtrip", _ROUNDTRIP_ORACLE)

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ecg_feature_engineering_spark.operators.text import WS_PATTERN
+from ecg_feature_engineering_spark.operators.text import words
 
 MICRO = 1_000_000.0
 """Fixed FLOOR grid (1e-6) for float scores; emitted as BIGINT micros."""
@@ -47,15 +47,15 @@ def doc_terms(df: DataFrame, text_col: str = "text",
     frequencies, one row per distinct (doc, term).
 
     Null/empty text yields no rows (the doc still counts toward corpus
-    N in the callers below). Token array is BOUND to a column before the
-    explode, and the explode is ``explode_outer`` + notNull filter — the
-    two CLAUDE.md plan traps (per-element outer-expression re-eval;
+    N in the callers below). Tokenizer is the canonical ``text.words``
+    (split-then-filter — one spelling to keep in sync with the oracles).
+    The token array is BOUND to a column before the explode, and the
+    explode is ``explode_outer`` + notNull filter — the two CLAUDE.md
+    plan traps (per-element outer-expression re-eval;
     InferFiltersFromGenerate re-expanding the pipeline into a synthesized
     ``size(arr) > 0`` filter)."""
-    toks = F.split(F.trim(F.regexp_replace(
-        F.lower(F.col(text_col)), WS_PATTERN, " ")), " ")
     out = (df.select(F.col(doc_id).alias("doc_id"),
-                     F.filter(toks, lambda x: x != "").alias("__toks"))
+                     words(F.lower(F.col(text_col))).alias("__toks"))
            .select("doc_id", F.explode_outer("__toks").alias("term"))
            .where(F.col("term").isNotNull())
            .groupBy("doc_id", "term")
@@ -125,9 +125,7 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     per-doc sum so the sum is order-independent. Docs matching no query
     term are emitted with score 0 (left join from the corpus side —
     a ranking over the corpus must rank every doc)."""
-    toks = F.split(F.trim(F.regexp_replace(
-        F.lower(F.col(text_col)), WS_PATTERN, " ")), " ")
-    dl_col = F.size(F.filter(toks, lambda x: x != ""))
+    dl_col = F.size(words(F.lower(F.col(text_col))))
     docs = df.select(F.col(doc_id).alias("doc_id"),
                      F.coalesce(dl_col, F.lit(0)).cast("long").alias("dl"))
 
@@ -136,11 +134,10 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     qterms = terms.where(F.col("term").isin(qlits))
     term_df = qterms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    # corpus constants in one 1-row broadcast: N and avgdl
-    consts = df.select(
-        F.coalesce(dl_col, F.lit(0)).cast("long").alias("__dl")
-    ).agg(F.count(F.lit(1)).alias("n_docs"),
-          F.sum("__dl").alias("dl_sum"))
+    # corpus constants in one 1-row broadcast: N and avgdl — aggregated
+    # from the docs projection above (one tokenizer spelling, one plan)
+    consts = docs.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("dl").alias("dl_sum"))
 
     j = (qterms.join(term_df, "term")
          .join(docs, "doc_id")

@@ -497,6 +497,19 @@ def test_corpus_stats_parity(spark, duck, corpusstats_dir):
                  f"'{corpusstats_dir}/documents.parquet/*.parquet'")
     _compare(spark, duck, ["tfidf_top_terms", "bm25_scores"],
              corpusstats_dir)
+    # _compare's np.isclose (rtol 1e-5) is ~46 micros of slack on a
+    # 4.6e6 micro value — far looser than the driver's bitwise hash.
+    # The *_micro columns are exact integers BY CONTRACT
+    # (operators/corpus.py): assert them bit-equal, like the FFT
+    # boundary test does for its floor-grid bands.
+    for name, keys in (("tfidf_top_terms", ["doc_id", "rank"]),
+                       ("bm25_scores", ["doc_id"])):
+        s = (contract.QUERY_BUILDERS[name](spark, corpusstats_dir)
+             .toPandas().sort_values(keys).reset_index(drop=True))
+        o = (duck.execute(contract.ORACLES[name]).fetchdf()
+             .sort_values(keys).reset_index(drop=True))
+        for c in [c for c in s.columns if c.endswith("_micro")]:
+            assert (s[c].to_numpy() == o[c].to_numpy()).all(), (name, c)
     # parity could be 'wrong together' — pin the structure the fixture
     # plants. BM25: 'data' df=6 of N=10 -> idf = ln(4.5/6.5) < 0, so doc
     # 5 ('big data', nothing else) must score NEGATIVE; doc 7 (no query
