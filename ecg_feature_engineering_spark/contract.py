@@ -3758,6 +3758,87 @@ def q_bm25_scores(spark, sf_dir):
     return corpus.bm25_scores(d, list(_BM25_QUERY_TERMS))
 
 
+@register("benchmark_contamination", r"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(regexp_replace(lower(text),
+                                              '[ \t\n\x0B\f\r]+', ' ',
+                                              'g')), ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+sh AS (  -- word_shingles semantics: distinct 3-grams, short docs emit
+         -- their full token join as one shingle (greatest(len-2, 1))
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM sh
+        WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+hit AS (SELECT s.doc_id, count(*) AS n_contam
+        FROM sh s JOIN bench b ON s.gram = b.gram
+        WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
+SELECT c.doc_id,
+  coalesce(t.n_grams, 0)::BIGINT AS n_grams,
+  coalesce(h.n_contam, 0)::BIGINT AS n_contam,
+  CASE WHEN coalesce(t.n_grams, 0) > 0 THEN
+    coalesce(h.n_contam, 0)::DOUBLE / t.n_grams::DOUBLE END AS contam_frac,
+  (coalesce(t.n_grams, 0) > 0
+   AND coalesce(h.n_contam, 0) * 100 >= t.n_grams * 80) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) c
+LEFT JOIN tot t USING (doc_id) LEFT JOIN hit h USING (doc_id)
+""")
+def q_benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx. C / Dolma pipeline op,
+    scale addition): candidate docs = doc_id % 50 != 0, benchmark =
+    doc_id % 50 == 0 (a deterministic in-corpus split — no external
+    data); per candidate, the fraction of its distinct word 3-grams
+    found anywhere in the benchmark. contam_frac is one exact int/int
+    quotient emitted unrounded; the flag compares integers
+    (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    cand = d.where(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    return corpus.benchmark_contamination(cand, bench, "text", "doc_id",
+                                          n=3, threshold_pct=80)
+
+
+@register("pack_token_stream", r"""
+WITH d AS (
+  SELECT doc_id, source AS shard,
+    coalesce(len(list_filter(regexp_split_to_array(lower(text),
+                                                   '[ \t\n\x0B\f\r]+'),
+                             x -> x <> '')), 0)::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d),
+e AS (
+  -- chunk ids by floor(x / 512.0) on DOUBLE, mirroring the engine
+  -- bit-for-bit (512 = 2^9: the division is exact; (cum-1) can be -1
+  -- on a zero-token stream head and floor(-1/512.0) = -1, clamped by
+  -- greatest to chunk_first, NOT integer-trunc semantics)
+  SELECT doc_id, shard, n_tokens,
+    (cum - n_tokens)::BIGINT AS start_off,
+    CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
+         AS BIGINT) AS chunk_first,
+    greatest(
+      CAST(floor((cum::DOUBLE - 1.0::DOUBLE) / 512.0::DOUBLE) AS BIGINT),
+      CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
+           AS BIGINT)) AS chunk_last
+  FROM c)
+SELECT doc_id, shard, n_tokens, start_off, chunk_first, chunk_last,
+  (chunk_last - chunk_first + 1)::BIGINT AS n_chunks
+FROM e
+""")
+def q_pack_token_stream(spark, sf_dir):
+    """GPT-style token-stream packing (scale addition): per-shard
+    (source) doc_id-ordered cumulative token offsets cut into 512-token
+    context windows; a doc may straddle chunks (zero padding waste).
+    All outputs exact integers (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.pack_token_stream(d, ctx=512, shard_col="source")
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -3825,6 +3906,7 @@ QUERY_ORDER: list[str] = [
     "beta_scores", "deep_features", "image_phash_check",
     # -- added r4 past the frozen window (r5 rotates them in)
     "tfidf_top_terms", "bm25_scores",
+    "benchmark_contamination", "pack_token_stream",
 ]
 
 

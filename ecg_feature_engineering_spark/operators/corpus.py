@@ -160,3 +160,94 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
                     .cast("long").alias("n_terms_matched"),
                     F.coalesce(F.col("bm25_micro"), F.lit(0))
                     .cast("long").alias("bm25_micro")))
+
+
+def benchmark_contamination(df: DataFrame, benchmark: DataFrame,
+                            text_col: str = "text",
+                            doc_id: str = "doc_id", n: int = 3,
+                            threshold_pct: int = 80) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Dolma pipeline op): for every
+    candidate training doc, the fraction of its distinct word n-grams
+    that appear in ANY benchmark document, plus a contaminated flag.
+
+    100 TB shape: one shingle explode per side, one distinct agg over the
+    (small) benchmark gram set, one equi-join on the gram key — the
+    benchmark side is tiny relative to the corpus (AQE broadcasts it;
+    no hint, so a pathologically large benchmark degrades to a sane
+    shuffle join instead of OOMing the driver, the ``without_quarantined``
+    rationale).
+
+    Exactness: counts are ints; ``contam_frac`` is ONE exact int/int
+    quotient emitted unrounded (bit-identical cross-engine, CLAUDE.md);
+    the flag compares ``n_contam * 100 >= n_grams * threshold_pct`` in
+    integers — never the float. Docs with NULL text surface with
+    n_grams 0 and NULL fraction (a decontamination report must list
+    every candidate doc, not silently drop the undecodable ones)."""
+    from ecg_feature_engineering_spark.operators.dedup import word_shingles
+
+    cand = df.select(F.col(doc_id).alias("doc_id"), text_col)
+    sh = word_shingles(cand, text_col, n=n, out="gram") \
+        .select("doc_id", "gram")
+    bench_grams = (word_shingles(
+        benchmark.select(F.col(doc_id).alias("doc_id"), text_col),
+        text_col, n=n, out="gram")
+        .select("gram").distinct())
+
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (sh.join(bench_grams, "gram")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contam")))
+    out = (cand.select("doc_id")
+           .join(totals, "doc_id", "left").join(hits, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+               .alias("n_grams"),
+               F.coalesce(F.col("n_contam"), F.lit(0)).cast("long")
+               .alias("n_contam")))
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_contam").cast("double") / F.col("n_grams").cast("double"))
+    flag = ((F.col("n_grams") > 0)
+            & (F.col("n_contam") * 100 >= F.col("n_grams")
+               * F.lit(int(threshold_pct))))
+    return out.withColumns({"contam_frac": frac,
+                            "contaminated": flag})
+
+
+def pack_token_stream(df: DataFrame, ctx: int = 512,
+                      text_col: str = "text", doc_id: str = "doc_id",
+                      shard_col: str = "source") -> DataFrame:
+    """GPT-style token-stream packing: concatenate each shard's documents in
+    doc_id order into one token stream and cut it into fixed ``ctx``-token
+    context windows; report where each doc lands (a doc may straddle
+    chunks — that IS the op: packing wastes zero tokens on padding).
+
+    Per-shard, not global: a single global cumulative sum would serialize
+    the corpus through one partition. Real pipelines pack per shard/file
+    — shard count grows with the data, so every window here is a bounded
+    partition (documented scale contract; at 100 TB ``shard_col`` is the
+    file/part key, thousands of parallel streams).
+
+    All outputs are exact integers (cumulative sums of int token counts):
+    start_off (tokens before this doc in its shard stream), chunk_first/
+    chunk_last (ctx-window ids the doc touches; zero-token docs pin
+    chunk_last = chunk_first), n_chunks."""
+    from ecg_feature_engineering_spark.operators.text import token_count
+
+    n_tok = F.coalesce(token_count(F.lower(F.col(text_col))), F.lit(0))
+    d = df.select(F.col(doc_id).alias("doc_id"),
+                  F.col(shard_col).alias("shard"),
+                  n_tok.cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("__cum", F.sum("n_tokens").over(w))
+    start = F.col("__cum") - F.col("n_tokens")
+    first = F.floor(start / F.lit(float(ctx))).cast("long")
+    last = F.greatest(
+        F.floor((F.col("__cum") - 1) / F.lit(float(ctx))).cast("long"),
+        first)
+    return (d.select(
+        "doc_id", "shard", "n_tokens",
+        start.cast("long").alias("start_off"),
+        first.alias("chunk_first"), last.alias("chunk_last"),
+        (last - first + 1).cast("long").alias("n_chunks")))

@@ -186,6 +186,12 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # bm25 score is exactly 0, tfidf rank ties ("the the the...")
         # break on the integer (tf, df, term) tuple
         "tfidf_top_terms", "bm25_scores",
+        # contamination/packing under the same hostile classes: the
+        # benchmark split here is just doc 0 ("hello world"), whose one
+        # short-doc shingle must catch the tab-padded near-twin doc 1;
+        # zero-token and NULL docs must flow through packing as
+        # zero-width stream segments
+        "benchmark_contamination", "pack_token_stream",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3
@@ -528,3 +534,86 @@ def test_corpus_stats_parity(spark, duck, corpusstats_dir):
     d8 = tt[tt["doc_id"] == 8].sort_values("rank")
     assert list(d8["term"]) == ["alpha", "beta"]
     assert d8["tfidf_micro"].nunique() == 1
+
+
+@pytest.fixture(scope="module")
+def packing_dir(spark, tmp_path_factory):
+    """Documents engineered for the packing/contamination edge classes:
+    zero-token doc at a shard HEAD (cum-1 = -1, the floor(-1/512) = -1
+    clamp), a doc that fills a 512-token chunk EXACTLY, a zero-token doc
+    sitting exactly ON a chunk boundary (interior clamp), straddling
+    docs (1024 and 513 tokens), a NULL-text doc mid-stream, an exact
+    80%-threshold contamination tie (4 of 5 grams), and a short-doc
+    full-join shingle hit (2-token candidate vs 2-token benchmark)."""
+    root = tmp_path_factory.mktemp("packing")
+
+    def toks(prefix, k):
+        return " ".join(f"{prefix}{i}" for i in range(k))
+
+    rows = [
+        # (doc_id, source/shard, text) — ids 0/50/150 are benchmark
+        (0, "a", ""),                 # zero-token shard head (benchmark)
+        (1, "a", toks("a", 512)),     # fills chunk 0 exactly
+        (2, "a", "solo"),             # starts exactly at offset 512
+        (3, "a", toks("b", 1024)),    # straddles chunks 1-3
+        (4, "a", None),               # NULL mid-stream
+        (9, "a", "w1 w2 w3 w4 w5 w6 x"),  # 5 grams, 4 contaminated: tie
+        (5, "b", toks("c", 511)),
+        (6, "b", "cap"),              # ends exactly at offset 512
+        (7, "b", "\t\n"),             # zero tokens ON the 512 boundary
+        (8, "b", toks("d", 513)),     # straddles chunks 1-2
+        (10, "b", "p q"),             # short-doc shingle hit
+        (50, "b", "w1 w2 w3 w4 w5 w6"),   # benchmark: 4 grams
+        (150, "b", "p q"),            # benchmark: short-doc shingle
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_pack_contamination_boundary_parity(spark, duck, packing_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                 f"'{packing_dir}/documents.parquet/*.parquet'")
+    _compare(spark, duck, ["benchmark_contamination", "pack_token_stream"],
+             packing_dir)
+    # parity could be 'wrong together' — pin the planted structure.
+    pk = (contract.QUERY_BUILDERS["pack_token_stream"](spark, packing_dir)
+          .toPandas().set_index("doc_id"))
+
+    def chunks(i):
+        r = pk.loc[i]
+        return (int(r["start_off"]), int(r["chunk_first"]),
+                int(r["chunk_last"]), int(r["n_chunks"]))
+
+    assert chunks(0) == (0, 0, 0, 1)       # head clamp: floor(-1/512)
+    assert chunks(1) == (0, 0, 0, 1)       # exact fill stays one chunk
+    assert chunks(2) == (512, 1, 1, 1)     # starts exactly at boundary
+    assert chunks(3) == (513, 1, 3, 3)     # 1024-token straddle
+    assert chunks(4) == (1537, 3, 3, 1)    # NULL text = zero-width seg
+    assert chunks(6) == (511, 0, 0, 1)     # ends exactly at boundary
+    assert chunks(7) == (512, 1, 1, 1)     # interior zero-width clamp
+    assert chunks(8) == (512, 1, 2, 2)     # 513-token straddle
+    cm = (contract.QUERY_BUILDERS["benchmark_contamination"](
+        spark, packing_dir).toPandas().set_index("doc_id"))
+    assert 0 not in cm.index and 50 not in cm.index   # benchmark excluded
+    r9 = cm.loc[9]
+    assert (int(r9["n_grams"]), int(r9["n_contam"])) == (5, 4)
+    assert bool(r9["contaminated"])        # 400 >= 400: the integer tie
+    r10 = cm.loc[10]
+    assert (int(r10["n_grams"]), int(r10["n_contam"])) == (1, 1)
+    assert bool(r10["contaminated"])       # full-join shingle path
+    r4 = cm.loc[4]
+    assert int(r4["n_grams"]) == 0 and pd.isna(r4["contam_frac"])
+    assert not bool(r4["contaminated"])    # NULL text: listed, not flagged
+    # whitespace-only candidate vs empty benchmark doc: both normalize to
+    # the single "" shingle -> 100% contaminated (degenerate but
+    # deterministic on both engines; an empty benchmark doc is the
+    # caller's bug, not silent corruption here)
+    r7 = cm.loc[7]
+    assert (int(r7["n_grams"]), int(r7["n_contam"])) == (1, 1)
+    assert int(cm.loc[1, "n_contam"]) == 0 and not bool(
+        cm.loc[1, "contaminated"])
