@@ -3839,6 +3839,176 @@ def q_pack_token_stream(spark, sf_dir):
     return corpus.pack_token_stream(d, ctx=512, shard_col="source")
 
 
+@register("line_repetition", r"""
+WITH ln AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        regexp_split_to_array(coalesce(text, ''), '\n'),
+        x -> regexp_replace(x, '(^[ \t\x0B\f\r]+)|([ \t\x0B\f\r]+$)',
+                            '', 'g')),
+      x -> x <> '') AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id, lines, list_distinct(lines) AS ulines,
+    coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+      ::BIGINT AS lc,
+    coalesce(list_sum(list_transform(list_distinct(lines),
+                                     x -> length(x))), 0)::BIGINT AS lcu
+  FROM ln)
+SELECT doc_id,
+  len(lines)::BIGINT AS n_lines,
+  len(ulines)::BIGINT AS n_uniq_lines,
+  (len(lines) - len(ulines))::BIGINT AS n_dup_lines,
+  CASE WHEN len(lines) > 0 THEN
+    (len(lines) - len(ulines))::DOUBLE / len(lines)::DOUBLE
+  ELSE 0.0::DOUBLE END AS dup_line_frac,
+  lc AS line_chars,
+  (lc - lcu)::BIGINT AS dup_line_chars,
+  CASE WHEN lc > 0 THEN (lc - lcu)::DOUBLE / lc::DOUBLE
+  ELSE 0.0::DOUBLE END AS dup_line_char_frac
+FROM m
+""")
+def q_line_repetition(spark, sf_dir):
+    """Gopher duplicate-LINE repetition signals (scale addition — the
+    n-gram granularity is `dup_ngram_fraction`): per doc, the fraction
+    of \\n-lines (btrimmed, empties dropped) that already occurred
+    earlier in the doc, plus the char-weighted twin. Fractions are
+    exact int/int quotients emitted unrounded (operators/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.line_repetition_stats(d, "text")
+    return out.select(
+        "doc_id", "n_lines", "n_uniq_lines", "n_dup_lines",
+        "dup_line_frac", "line_chars", "dup_line_chars",
+        "dup_line_char_frac")
+
+
+@register("top_ngram_stats", r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, length(array_to_string(t, ' '))::BIGINT AS denom,
+    n.n, array_to_string(t[i.i:i.i + n.n - 1], ' ') AS gram
+  FROM toks
+  CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) n,
+  unnest(generate_series(1, len(t) - n.n + 1)) AS i(i)
+  WHERE len(t) >= n.n),
+c AS (SELECT doc_id, denom, n, gram, count(*)::BIGINT AS cnt
+      FROM g GROUP BY doc_id, denom, n, gram),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn
+       FROM c)
+SELECT doc_id, n::BIGINT AS n, gram AS top_gram, cnt,
+  (cnt * length(gram))::BIGINT AS gram_chars,
+  denom AS denom_chars,
+  CASE WHEN denom > 0 THEN
+    (cnt * length(gram))::DOUBLE / denom::DOUBLE END AS char_frac
+FROM rk WHERE rn = 1
+""")
+def q_top_ngram_stats(spark, sf_dir):
+    """Gopher top-n-gram repetition signal (scale addition): per doc and
+    n in {2,3,4}, the most frequent word n-gram (winner picked on the
+    EXACT integer tuple cnt DESC, gram ASC) and the fraction of the
+    doc's normalized chars its occurrences cover — one exact int/int
+    quotient, unrounded; overlapping occurrences can push it past 1.0
+    (documented, not clamped). Docs with < n tokens emit no (doc, n)
+    row (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    out = corpus.top_ngram_char_fraction(d, ns=(2, 3, 4))
+    return out.select("doc_id", F.col("n").cast("long").alias("n"),
+                      "top_gram", "cnt", "gram_chars", "denom_chars",
+                      "char_frac")
+
+
+@register("pack_efficiency", r"""
+WITH d AS (
+  SELECT doc_id, source AS shard,
+    coalesce(len(list_filter(regexp_split_to_array(lower(text),
+                                                   '[ \t\n\x0B\f\r]+'),
+                             x -> x <> '')), 0)::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d),
+e AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
+         AS BIGINT) AS chunk_first,
+    greatest(
+      CAST(floor((cum::DOUBLE - 1.0::DOUBLE) / 512.0::DOUBLE) AS BIGINT),
+      CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
+           AS BIGINT)) AS chunk_last
+  FROM c),
+a AS (
+  SELECT shard, count(*)::BIGINT AS n_docs,
+    sum(n_tokens)::BIGINT AS total_tokens,
+    max(n_tokens)::BIGINT AS max_doc_tokens,
+    sum(CASE WHEN chunk_last > chunk_first THEN 1 ELSE 0 END)
+      ::BIGINT AS n_straddlers
+  FROM e GROUP BY shard)
+SELECT shard, n_docs, total_tokens, max_doc_tokens, n_straddlers,
+  ((total_tokens + 511) // 512)::BIGINT AS n_chunks,
+  (((total_tokens + 511) // 512) * 512 - total_tokens)
+    ::BIGINT AS pad_tokens,
+  CASE WHEN total_tokens > 0 THEN
+    total_tokens::DOUBLE
+    / (((total_tokens + 511) // 512) * 512)::DOUBLE
+  END AS fill_frac
+FROM a
+""")
+def q_pack_efficiency(spark, sf_dir):
+    """Per-shard packing-efficiency ledger over `pack_token_stream`
+    (scale addition): context-window fill fraction, padding tokens,
+    boundary-straddling doc count. The shard agg reuses the packing
+    window's hashpartitioning(shard) exchange — one shuffle total.
+    fill_frac is one exact int/int quotient, unrounded
+    (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.pack_efficiency(d, ctx=512, shard_col="source")
+
+
+@register("source_mixture", r"""
+WITH d AS (
+  SELECT source,
+    coalesce(len(list_filter(regexp_split_to_array(lower(text),
+                                                   '[ \t\n\x0B\f\r]+'),
+                             x -> x <> '')), 0)::BIGINT AS nt
+  FROM documents),
+s AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+  FROM d GROUP BY source),
+m AS (
+  SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000.0::DOUBLE)
+                 AS BIGINT) AS sqrt_micro
+  FROM s),
+k AS (SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+             sum(sqrt_micro)::BIGINT AS tot_sqrt FROM m)
+SELECT m.source, m.n_docs, m.n_tokens,
+  CASE WHEN k.tot_tokens > 0 THEN
+    m.n_tokens::DOUBLE / k.tot_tokens::DOUBLE END AS prop,
+  m.sqrt_micro,
+  CASE WHEN k.tot_sqrt > 0 THEN
+    CAST((m.sqrt_micro * 1000000) // k.tot_sqrt AS BIGINT)
+  END AS w_alpha_micro
+FROM m CROSS JOIN k
+""")
+def q_source_mixture(spark, sf_dir):
+    """Temperature-sampled source mixing weights, alpha = 0.5 (the
+    Pile/LLaMA-style corpus-mixing report; scale addition): per-source
+    token share and sqrt-proportional sampling weight. The alpha weight
+    goes through the FLOOR micro grid INTEGERLY — IEEE sqrt is
+    correctly rounded, so floor(sqrt*1e6) is bit-identical
+    cross-engine, and the final ratio is int64 `div`
+    (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.source_mixture(d, shard_col="source")
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -3907,6 +4077,8 @@ QUERY_ORDER: list[str] = [
     # -- added r4 past the frozen window (r5 rotates them in)
     "tfidf_top_terms", "bm25_scores",
     "benchmark_contamination", "pack_token_stream",
+    "line_repetition", "top_ngram_stats",
+    "pack_efficiency", "source_mixture",
 ]
 
 

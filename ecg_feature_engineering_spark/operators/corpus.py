@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ecg_feature_engineering_spark.operators.text import words
+from ecg_feature_engineering_spark.operators.text import token_count, words
 
 MICRO = 1_000_000.0
 """Fixed FLOOR grid (1e-6) for float scores; emitted as BIGINT micros."""
@@ -232,8 +232,6 @@ def pack_token_stream(df: DataFrame, ctx: int = 512,
     start_off (tokens before this doc in its shard stream), chunk_first/
     chunk_last (ctx-window ids the doc touches; zero-token docs pin
     chunk_last = chunk_first), n_chunks."""
-    from ecg_feature_engineering_spark.operators.text import token_count
-
     n_tok = F.coalesce(token_count(F.lower(F.col(text_col))), F.lit(0))
     d = df.select(F.col(doc_id).alias("doc_id"),
                   F.col(shard_col).alias("shard"),
@@ -251,3 +249,150 @@ def pack_token_stream(df: DataFrame, ctx: int = 512,
         start.cast("long").alias("start_off"),
         first.alias("chunk_first"), last.alias("chunk_last"),
         (last - first + 1).cast("long").alias("n_chunks")))
+
+
+def top_ngram_char_fraction(df: DataFrame, ns: tuple[int, ...] = (2, 3, 4),
+                            text_col: str = "text",
+                            doc_id: str = "doc_id") -> DataFrame:
+    """Gopher repetition signal: for each doc and each n in ``ns``, the
+    most-frequently-occurring word n-gram and the fraction of the doc's
+    normalized characters its occurrences cover (``dup_ngram_stats``
+    carries the companion duplicate-n-gram fraction; this is the
+    top-1-gram family).
+
+    One explode for ALL of ``ns``: each doc's grams for every n are built
+    into a single struct array (bound to a column first — per-element
+    re-eval trap) and exploded once; then one (doc, n, gram) count agg
+    and one (doc, n) top-1 window. Two shuffles total on doc-keyed
+    composites — fine-grained keys, no skew pivot, no cross-doc join.
+
+    Determinism/exactness: the winner per (doc, n) is picked on the
+    EXACT integer tuple (cnt DESC, gram ASC); ``char_frac`` is one exact
+    int/int quotient emitted unrounded (overlapping occurrences can
+    legitimately push it past 1.0 — "the the the the" has three
+    overlapping "the the" bigrams; documented, not clamped). Docs with
+    fewer than n tokens emit no (doc, n) row: no gram exists — the
+    filter semantics treat them as pass-through, unlike the
+    list-every-doc contamination report."""
+    from ecg_feature_engineering_spark.operators.text import token_count, words
+
+    base = (df.select(F.col(doc_id).alias("doc_id"),
+                      words(F.lower(F.col(text_col))).alias("__toks"))
+            .withColumn("__denom",
+                        F.length(F.array_join(F.col("__toks"), " "))))
+    toks = F.col("__toks")
+    k = F.size(toks)
+
+    def grams_for(n: int):
+        empty = F.array().cast("array<struct<n:int,gram:string>>")
+        return F.when(k >= n, F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                   for j in range(n)]).alias("gram")),
+        )).otherwise(empty)
+
+    base = base.withColumn(
+        "__grams", F.flatten(F.array(*[grams_for(n) for n in ns])))
+    g = (base.select("doc_id", "__denom",
+                     F.explode_outer("__grams").alias("__g"))
+         .where(F.col("__g").isNotNull())
+         .select("doc_id", "__denom", F.col("__g.n").alias("n"),
+                 F.col("__g.gram").alias("gram")))
+    c = (g.groupBy("doc_id", "__denom", "n", "gram")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc())
+    top = (c.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") == 1))
+    gram_chars = F.col("cnt") * F.length(F.col("gram"))
+    return top.select(
+        "doc_id", "n", F.col("gram").alias("top_gram"),
+        F.col("cnt").cast("long").alias("cnt"),
+        gram_chars.cast("long").alias("gram_chars"),
+        F.col("__denom").cast("long").alias("denom_chars"),
+        F.when(F.col("__denom") > 0,
+               gram_chars.cast("double")
+               / F.col("__denom").cast("double")).alias("char_frac"))
+
+
+def pack_efficiency(df: DataFrame, ctx: int = 512,
+                    text_col: str = "text", doc_id: str = "doc_id",
+                    shard_col: str = "source") -> DataFrame:
+    """Per-shard packing-efficiency report over :func:`pack_token_stream`:
+    how full the fixed ``ctx``-token context windows are, and how many
+    docs straddle a chunk boundary (the padding-vs-splitting ledger a
+    packing run is judged by).
+
+    Plan: the shard-window cumsum and this shard agg share ONE
+    hashpartitioning(shard) exchange (same key, no re-shuffle). All
+    outputs exact integers except ``fill_frac`` — one exact int/int
+    quotient emitted unrounded. An all-empty shard reports 0 chunks,
+    0 padding, NULL fill_frac."""
+    packed = pack_token_stream(df, ctx=ctx, text_col=text_col,
+                               doc_id=doc_id, shard_col=shard_col)
+    agg = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_doc_tokens"),
+        F.sum(F.when(F.col("chunk_last") > F.col("chunk_first"), 1)
+              .otherwise(0)).cast("long").alias("n_straddlers"))
+    n_chunks = F.expr(f"(total_tokens + {ctx - 1}) div {ctx}")
+    agg = agg.withColumn("n_chunks", n_chunks.cast("long"))
+    pad = F.col("n_chunks") * ctx - F.col("total_tokens")
+    return agg.withColumns({
+        "pad_tokens": pad.cast("long"),
+        "fill_frac": F.when(
+            F.col("n_chunks") > 0,
+            F.col("total_tokens").cast("double")
+            / (F.col("n_chunks") * ctx).cast("double")),
+    })
+
+
+def source_mixture(df: DataFrame, text_col: str = "text",
+                   shard_col: str = "source") -> DataFrame:
+    """Temperature-sampled data-mixing weights per source (the
+    Pile/LLaMA-style corpus mixing op, alpha = 0.5): each source's
+    sampling weight is proportional to sqrt(its token count), next to
+    its natural proportion — the report a pre-training mixing run is
+    configured from.
+
+    100 TB shape: one (source) count agg over the corpus; the two
+    corpus constants (total tokens, total sqrt-micro mass) ride a 1-row
+    aggregate crossJoined back onto the tiny per-source table (the
+    bm25 corpus-constant pattern — no Window over a single partition,
+    no collect).
+
+    Exactness: ``prop`` is an exact int/int quotient (unrounded);
+    the alpha weight goes through the FLOOR micro grid INTEGERLY —
+    ``sqrt_micro = floor(sqrt(n_tokens) * 1e6)`` (IEEE sqrt is
+    correctly rounded, so the double is bit-identical cross-engine),
+    then ``w_alpha_micro = (sqrt_micro * 1_000_000) div
+    sum(sqrt_micro)`` in int64 (float division here would round
+    differently per engine; int64 bounds the domain to < ~8.5e13
+    tokens per source — documented precondition, cf. the variability
+    family's power-sum domain)."""
+    n_tok = F.coalesce(token_count(F.lower(F.col(text_col))), F.lit(0))
+    per_src = (df.select(F.col(shard_col).alias("source"),
+                         n_tok.cast("long").alias("__nt"))
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("__nt").cast("long").alias("n_tokens")))
+    per_src = per_src.withColumn(
+        "sqrt_micro",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * MICRO)
+        .cast("long"))
+    consts = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("__tot_tokens"),
+        F.sum("sqrt_micro").cast("long").alias("__tot_sqrt"))
+    out = per_src.crossJoin(F.broadcast(consts))
+    return out.select(
+        "source", "n_docs", "n_tokens",
+        F.when(F.col("__tot_tokens") > 0,
+               F.col("n_tokens").cast("double")
+               / F.col("__tot_tokens").cast("double")).alias("prop"),
+        "sqrt_micro",
+        F.when(F.col("__tot_sqrt") > 0,
+               F.expr("(sqrt_micro * 1000000) div __tot_sqrt"))
+        .cast("long").alias("w_alpha_micro"))

@@ -261,6 +261,63 @@ def dup_ngram_stats(df: DataFrame, text_col: str = "text",
             }).drop("__ws", "__grams", "__sg", "__dup", "__tot"))
 
 
+#: ASCII whitespace minus the line separator itself — per-line btrim set
+#: for line_repetition_stats (CRLF corpora leave a trailing \r on every
+#: split line; a raw compare would then never find a duplicate).
+_LINE_TRIM_CHARS = " \t\x0b\x0c\r"
+
+
+def line_repetition_stats(df: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """Duplicate-line fraction + duplicate-line character fraction
+    (the Gopher repetition signals at LINE granularity — the n-gram
+    granularity lives in :func:`dup_ngram_stats`).
+
+    A line is a ``\\n``-separated segment, btrimmed of the remaining
+    ASCII whitespace (so CRLF and space-padded twins compare equal),
+    empties dropped. An occurrence is "duplicate" if its line text
+    already occurred earlier in the doc — so ``n_dup_lines =
+    n_lines - n_uniq_lines`` and ``dup_line_chars = line_chars -
+    uniq_line_chars`` (each distinct line's first occurrence is the
+    original; char counts weight long boilerplate lines the way the
+    published filter intends).
+
+    Distributed shape: SCAN-LOCAL like dup_ngram_stats — repetition is a
+    within-document quantity; zero shuffles/joins/Python. Every array is
+    materialized as a column before a lambda touches it (CLAUDE.md
+    per-element re-eval trap). Fractions are exact int/int quotients
+    emitted unrounded (bit-identical cross-engine). NULL text behaves as
+    empty (0 lines; a line-repetition report lists every doc)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    step = df.withColumn(
+        "__ln",
+        F.filter(F.transform(F.split(t, "\n"),
+                             lambda x: F.btrim(x, F.lit(_LINE_TRIM_CHARS))),
+                 lambda x: x != ""))
+    step = step.withColumn("__lnd", F.array_distinct(F.col("__ln")))
+    ln, lnd = F.col("__ln"), F.col("__lnd")
+    chars = F.aggregate(ln, F.lit(0), lambda acc, x: acc + F.length(x))
+    chars_u = F.aggregate(lnd, F.lit(0), lambda acc, x: acc + F.length(x))
+    step = step.withColumns({"__lc": chars, "__lcu": chars_u})
+    n_lines = F.size(ln)
+    n_uniq = F.size(lnd)
+    lc, lcu = F.col("__lc"), F.col("__lcu")
+    return (step.withColumns({
+        "n_lines": n_lines.cast("long"),
+        "n_uniq_lines": n_uniq.cast("long"),
+        "n_dup_lines": (n_lines - n_uniq).cast("long"),
+        "dup_line_frac": F.when(
+            n_lines > 0,
+            (n_lines - n_uniq).cast("double") / n_lines.cast("double"))
+            .otherwise(F.lit(0.0)),
+        "line_chars": lc.cast("long"),
+        "dup_line_chars": (lc - lcu).cast("long"),
+        "dup_line_char_frac": F.when(
+            lc > 0, (lc - lcu).cast("double") / lc.cast("double"))
+            .otherwise(F.lit(0.0)),
+    }).drop("__ln", "__lnd", "__lc", "__lcu"))
+
+
 def winnow_selected(df: DataFrame, text_col: str = "text",
                     k: int = 5, w: int = 4,
                     out: str = "winnow_sel") -> DataFrame:

@@ -192,6 +192,12 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # zero-token and NULL docs must flow through packing as
         # zero-width stream segments
         "benchmark_contamination", "pack_token_stream",
+        # repetition/mixing under NULL/blank/exotic-whitespace docs:
+        # NBSP must NOT split a line or token, NULL text = 0 lines /
+        # 0 tokens, and a source whose docs are all blank contributes
+        # sqrt_micro 0 (structure pinned in test_repetition_mixture_*)
+        "line_repetition", "top_ngram_stats",
+        "pack_efficiency", "source_mixture",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3
@@ -578,8 +584,8 @@ def test_pack_contamination_boundary_parity(spark, duck, packing_dir):
     contract.ensure_workers_can_import(spark)
     duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
                  f"'{packing_dir}/documents.parquet/*.parquet'")
-    _compare(spark, duck, ["benchmark_contamination", "pack_token_stream"],
-             packing_dir)
+    _compare(spark, duck, ["benchmark_contamination", "pack_token_stream",
+                           "pack_efficiency"], packing_dir)
     # parity could be 'wrong together' — pin the planted structure.
     pk = (contract.QUERY_BUILDERS["pack_token_stream"](spark, packing_dir)
           .toPandas().set_index("doc_id"))
@@ -617,3 +623,86 @@ def test_pack_contamination_boundary_parity(spark, duck, packing_dir):
     assert (int(r7["n_grams"]), int(r7["n_contam"])) == (1, 1)
     assert int(cm.loc[1, "n_contam"]) == 0 and not bool(
         cm.loc[1, "contaminated"])
+    # packing-efficiency ledger over the same engineered streams:
+    # shard a = docs {0,1,2,3,4,9} -> 0+512+1+1024+0+7 = 1544 tokens,
+    # one straddler (doc 3); ceil(1544/512) = 4 chunks, 504 pad
+    pe = (contract.QUERY_BUILDERS["pack_efficiency"](spark, packing_dir)
+          .toPandas().set_index("shard"))
+    ra = pe.loc["a"]
+    assert (int(ra["n_docs"]), int(ra["total_tokens"]),
+            int(ra["max_doc_tokens"]), int(ra["n_straddlers"])) \
+        == (6, 1544, 1024, 1)
+    assert (int(ra["n_chunks"]), int(ra["pad_tokens"])) == (4, 504)
+    assert ra["fill_frac"] == 1544.0 / 2048.0   # exact: /2^11
+
+
+@pytest.fixture(scope="module")
+def repetition_dir(spark, tmp_path_factory):
+    """Documents engineered for the line/n-gram repetition edge classes:
+    CRLF and space-padded duplicate-line twins (a raw compare would
+    never match them), an overlapping-n-gram doc whose top-gram char
+    fraction legitimately exceeds 1.0, an exactly-2-token doc (emits
+    the n=2 row only), a 1-token doc (emits NO top-gram row), and a
+    source whose docs are all NULL/blank (sqrt_micro 0 in the mixing
+    report)."""
+    root = tmp_path_factory.mktemp("repetition")
+    rows = [
+        (0, "z", None),                       # NULL: 0 lines, 0 tokens
+        (1, "z", "\t\r\n \x0c"),              # blank: source z sums to 0
+        (2, "a", "foo\r\nfoo\n foo \nbar"),   # CRLF/padded twins
+        (3, "a", "the the the the"),          # overlap: char_frac > 1
+        (4, "a", "x y x y x y"),
+        (5, "b", "line one\nline two\n" * 3),
+        (6, "b", "a b"),                      # exactly n=2 tokens
+        (7, "b", "solo"),                     # no n-gram row at all
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_repetition_mixture_parity(spark, duck, repetition_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                 f"'{repetition_dir}/documents.parquet/*.parquet'")
+    _compare(spark, duck, ["line_repetition", "top_ngram_stats",
+                           "source_mixture", "pack_token_stream",
+                           "pack_efficiency"], repetition_dir)
+    # parity could be 'wrong together' — pin the planted structure.
+    lr = (contract.QUERY_BUILDERS["line_repetition"](spark, repetition_dir)
+          .toPandas().set_index("doc_id"))
+    r2 = lr.loc[2]   # [foo\r, foo, ' foo ', bar] -> [foo x3, bar]
+    assert (int(r2["n_lines"]), int(r2["n_uniq_lines"]),
+            int(r2["n_dup_lines"])) == (4, 2, 2)
+    assert (int(r2["line_chars"]), int(r2["dup_line_chars"])) == (12, 6)
+    assert r2["dup_line_frac"] == 0.5 and r2["dup_line_char_frac"] == 0.5
+    r5 = lr.loc[5]   # trailing-\n empty segment dropped
+    assert (int(r5["n_lines"]), int(r5["n_uniq_lines"]),
+            int(r5["line_chars"]), int(r5["dup_line_chars"])) \
+        == (6, 2, 48, 32)
+    for i in (0, 1):  # NULL and blank: 0 lines, fractions 0.0 not NULL
+        assert int(lr.loc[i, "n_lines"]) == 0
+        assert lr.loc[i, "dup_line_frac"] == 0.0
+    tg = (contract.QUERY_BUILDERS["top_ngram_stats"](spark, repetition_dir)
+          .toPandas().set_index(["doc_id", "n"]).sort_index())
+    r32 = tg.loc[(3, 2)]  # 'the the' x3 overlapping, denom 15 chars
+    assert r32["top_gram"] == "the the"
+    assert (int(r32["cnt"]), int(r32["gram_chars"]),
+            int(r32["denom_chars"])) == (3, 21, 15)
+    assert r32["char_frac"] == 21.0 / 15.0      # > 1.0: documented
+    assert tg.loc[(3, 4)]["char_frac"] == 1.0   # whole doc is the gram
+    assert tg.loc[(6, 2)]["top_gram"] == "a b"  # k == n edge
+    docs_in = set(tg.index.get_level_values("doc_id"))
+    assert 7 not in docs_in and 0 not in docs_in and 1 not in docs_in
+    assert set(tg.loc[6].index) == {2}          # no n=3/4 row for 2 toks
+    mx = (contract.QUERY_BUILDERS["source_mixture"](spark, repetition_dir)
+          .toPandas().set_index("source"))
+    rz = mx.loc["z"]  # all-blank source: zero mass, weight exactly 0
+    assert (int(rz["n_tokens"]), int(rz["sqrt_micro"]),
+            int(rz["w_alpha_micro"])) == (0, 0, 0)
+    assert rz["prop"] == 0.0
+    assert int(mx["w_alpha_micro"].sum()) <= 1_000_000  # floor'd shares
+    assert abs(mx["prop"].sum() - 1.0) < 1e-12  # shares of the total

@@ -59,6 +59,25 @@ def _counts(df):
     ("winnow_match_pairs", 4, 0),
     # one (entity, bar) shuffle shared by the rank window and the agg
     ("ohlc_time_bars", 1, 0),
+    # packing: ONE shard-window shuffle — a global cumsum (the naive
+    # spelling) would show up here as a SinglePartition exchange
+    ("pack_token_stream", 1, 0),
+    # decontamination: benchmark-distinct agg + the two doc-keyed count
+    # aggs; the gram join itself must stay broadcast/equi (a 4th
+    # exchange or a cartesian = the O(corpus x benchmark) regression)
+    ("benchmark_contamination", 3, 0),
+    # line repetition is within-document: scan-local like dup_ngram
+    ("line_repetition", 0, 0),
+    # ONE gram explode for all of n in {2,3,4}: (doc,n,gram) count agg
+    # + the (doc,n) top-1 window — a per-n pass would show 6 exchanges
+    ("top_ngram_stats", 2, 0),
+    # the shard agg must REUSE the packing window's
+    # hashpartitioning(shard) exchange — a second exchange means the
+    # same-key reuse broke
+    ("pack_efficiency", 1, 0),
+    # per-source agg + the two 1-row corpus-constant stages (tiny
+    # table; the constants ride a broadcast back, never a window)
+    ("source_mixture", 3, 0),
     # quarantine rides the corpus scan: ZERO shuffles; 2 Python stages
     # = the seeded-corpus mapInPandas synthesis + the status kernel
     # (a production read replaces the first with a parquet scan)
