@@ -3972,6 +3972,49 @@ def q_pack_efficiency(spark, sf_dir):
     return corpus.pack_efficiency(d, ctx=512, shard_col="source")
 
 
+@register("paragraph_dedup", r"""
+WITH p AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        regexp_split_to_array(coalesce(text, ''), '\n[ \t\x0B\f\r]*\n'),
+        x -> regexp_replace(x, '(^[ \t\n\x0B\f\r]+)|([ \t\n\x0B\f\r]+$)',
+                            '', 'g')),
+      x -> x <> '') AS paras
+  FROM documents),
+occ AS (SELECT doc_id, unnest(paras) AS para FROM p),
+fp AS (SELECT para, count(DISTINCT doc_id) AS n_docs_with
+       FROM occ GROUP BY para),
+d AS (
+  SELECT occ.doc_id, count(*)::BIGINT AS np,
+    sum(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END)::BIGINT AS nd,
+    sum(length(occ.para))::BIGINT AS pc,
+    sum(CASE WHEN f.n_docs_with >= 2 THEN length(occ.para)
+        ELSE 0 END)::BIGINT AS dc
+  FROM occ JOIN fp f USING (para) GROUP BY occ.doc_id)
+SELECT doc.doc_id,
+  coalesce(d.np, 0)::BIGINT AS n_paras,
+  coalesce(d.nd, 0)::BIGINT AS n_dup_paras,
+  coalesce(d.pc, 0)::BIGINT AS para_chars,
+  coalesce(d.dc, 0)::BIGINT AS dup_para_chars,
+  CASE WHEN d.np > 0 THEN d.nd::DOUBLE / d.np::DOUBLE
+  ELSE 0.0::DOUBLE END AS dup_para_frac,
+  CASE WHEN d.pc > 0 THEN d.dc::DOUBLE / d.pc::DOUBLE
+  ELSE 0.0::DOUBLE END AS dup_para_char_frac
+FROM documents doc LEFT JOIN d USING (doc_id)
+""")
+def q_paragraph_dedup(spark, sf_dir):
+    """Cross-document paragraph duplication (Gopher/Dolma paragraph
+    granularity; scale addition): per doc, the count/char fraction of
+    its blank-line-separated paragraphs that occur in >= 2 DISTINCT
+    docs (within-doc self-repeats excluded by construction).
+    Occurrences join on a fixed-width md5 fingerprint; fractions are
+    exact int/int quotients, 0.0 for paragraph-less docs
+    (operators/dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.paragraph_dup_stats(d, "text", "doc_id")
+
+
 @register("source_mixture", r"""
 WITH d AS (
   SELECT source,
@@ -4078,7 +4121,7 @@ QUERY_ORDER: list[str] = [
     "tfidf_top_terms", "bm25_scores",
     "benchmark_contamination", "pack_token_stream",
     "line_repetition", "top_ngram_stats",
-    "pack_efficiency", "source_mixture",
+    "pack_efficiency", "source_mixture", "paragraph_dedup",
 ]
 
 

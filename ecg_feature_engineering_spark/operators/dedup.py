@@ -80,6 +80,80 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     )
 
 
+#: Paragraph separator: a blank (whitespace-only) line. The explicit
+#: ASCII class (not \s) keeps Java-regex and RE2 splits byte-identical,
+#: and the [..]* core makes CRLF blank lines ("\n\r\n") separate
+#: paragraphs the same as bare "\n\n".
+PARA_SPLIT_PATTERN = "\\n[ \\t\\x0B\\f\\r]*\\n"
+
+#: Outer-whitespace trim class for paragraph normalization (includes \n:
+#: a paragraph keeps its INTERNAL newlines, sheds leading/trailing ones).
+_PARA_TRIM_CHARS = " \t\n\x0b\x0c\r"
+
+
+def paragraph_dup_stats(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Cross-document paragraph-level duplication report (the
+    Gopher/Dolma dedup granularity between whole-doc `exact_dups` and
+    the within-doc line/n-gram repetition ops): per doc, how many of
+    its paragraphs — blank-line-separated, outer-whitespace-trimmed,
+    empties dropped — also occur in at least one OTHER document, by
+    count and by character mass. Within-doc self-repeats do NOT count
+    (that signal is `line_repetition`/`dup_ngram_stats`); the flag is
+    distinct-doc frequency >= 2.
+
+    100 TB shape: one explode over the scan, one (md5-fingerprint)
+    count-distinct agg, one equi-join of occurrences back to that thin
+    (fp, n_docs_with) table, one doc-keyed agg — no pair space, no
+    collect. Occurrences join on the 32-char md5, not the paragraph
+    text, so the fp shuffle ships fixed-width keys (paragraphs can be
+    KBs); a boilerplate paragraph shared by millions of docs is one hot
+    fp GROUP (map-side partial count-distinct absorbs it), never a
+    pair blowup.
+
+    Exactness: counts/chars are exact integers; fractions are exact
+    int/int quotients emitted unrounded, 0.0 (not NULL) for docs with
+    no paragraphs — every doc is listed (left join back to the corpus).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.transform(F.split(t, PARA_SPLIT_PATTERN),
+                        lambda x: F.btrim(x, F.lit(_PARA_TRIM_CHARS))),
+            lambda x: x != "").alias("__paras"))
+    # explode_outer + isNotNull, NOT plain explode: the computed-array
+    # InferFiltersFromGenerate re-expansion trap (CLAUDE.md)
+    occ = (base.select("doc_id", F.explode_outer("__paras").alias("__p"))
+           .where(F.col("__p").isNotNull())
+           .select("doc_id", F.md5("__p").alias("__fp"),
+                   F.length("__p").alias("__plen")))
+    freq = occ.groupBy("__fp").agg(
+        F.countDistinct("doc_id").alias("__n_docs_with"))
+    j = occ.join(freq, "__fp")
+    dup = F.col("__n_docs_with") >= 2
+    per_doc = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.when(dup, 1).otherwise(0)).alias("__nd"),
+        F.sum("__plen").alias("__pc"),
+        F.sum(F.when(dup, F.col("__plen")).otherwise(0)).alias("__dc"))
+    np_, nd = F.col("__np"), F.col("__nd")
+    pc, dc = F.col("__pc"), F.col("__dc")
+    return (df.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(np_, F.lit(0)).cast("long").alias("n_paras"),
+                F.coalesce(nd, F.lit(0)).cast("long").alias("n_dup_paras"),
+                F.coalesce(pc, F.lit(0)).cast("long").alias("para_chars"),
+                F.coalesce(dc, F.lit(0)).cast("long")
+                .alias("dup_para_chars"),
+                F.when(np_ > 0, nd.cast("double") / np_.cast("double"))
+                .otherwise(F.lit(0.0)).alias("dup_para_frac"),
+                F.when(pc > 0, dc.cast("double") / pc.cast("double"))
+                .otherwise(F.lit(0.0)).alias("dup_para_char_frac")))
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   out: str = "shingle") -> DataFrame:
     """Distinct word n-gram shingles per doc (lowercased, ws-normalized).

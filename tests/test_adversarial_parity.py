@@ -198,6 +198,10 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # sqrt_micro 0 (structure pinned in test_repetition_mixture_*)
         "line_repetition", "top_ngram_stats",
         "pack_efficiency", "source_mixture",
+        # cross-doc paragraph dedup: NULL/blank docs listed with zeros;
+        # single-line docs are 1-para docs (planted structure lives in
+        # test_paragraph_dedup_parity's dedicated fixture)
+        "paragraph_dedup",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3
@@ -706,3 +710,57 @@ def test_repetition_mixture_parity(spark, duck, repetition_dir):
     assert rz["prop"] == 0.0
     assert int(mx["w_alpha_micro"].sum()) <= 1_000_000  # floor'd shares
     assert abs(mx["prop"].sum() - 1.0) < 1e-12  # shares of the total
+
+
+@pytest.fixture(scope="module")
+def paragraphs_dir(spark, tmp_path_factory):
+    """Documents engineered for cross-doc paragraph dedup — the driver
+    corpus has NO multi-paragraph docs (max n_paras = 1 at sf0.01), so
+    sf parity alone would certify nothing: a boilerplate paragraph
+    shared by 3 docs (one CRLF-separated, one whitespace-padded — both
+    must normalize equal), a doc whose paragraph repeats only WITHIN
+    itself (must NOT count: the signal is cross-doc), paragraphs with
+    internal newlines (kept), and NULL/blank-only docs (listed, zeros).
+    """
+    root = tmp_path_factory.mktemp("paragraphs")
+    rows = [
+        (0, "a", None),
+        (1, "a", "\n\n \n"),                      # blank-only: 0 paras
+        (2, "a", "intro two\n\nCOMMON FOOTER\n\nbody a"),
+        (3, "b", "other doc\r\n\r\n  COMMON FOOTER  "),  # CRLF + padded
+        (4, "b", "COMMON FOOTER"),
+        (5, "b", "self\n\nself"),                 # within-doc only
+        (6, "c", "multi\nline\npara\n\nmulti\nline\npara2"),
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_paragraph_dedup_parity(spark, duck, paragraphs_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                 f"'{paragraphs_dir}/documents.parquet/*.parquet'")
+    _compare(spark, duck, ["paragraph_dedup"], paragraphs_dir)
+    # parity could be 'wrong together' — pin the planted structure.
+    pr = (contract.QUERY_BUILDERS["paragraph_dedup"](spark, paragraphs_dir)
+          .toPandas().set_index("doc_id"))
+
+    def row(i):
+        r = pr.loc[i]
+        return (int(r["n_paras"]), int(r["n_dup_paras"]),
+                int(r["para_chars"]), int(r["dup_para_chars"]))
+
+    assert row(2) == (3, 1, 28, 13)   # FOOTER shared with docs 3 and 4
+    assert row(3) == (2, 1, 22, 13)   # CRLF split + btrim'd twin matched
+    assert row(4) == (1, 1, 13, 13)
+    assert pr.loc[4, "dup_para_frac"] == 1.0
+    assert row(5) == (2, 0, 8, 0)     # within-doc repeat does NOT count
+    assert row(6) == (2, 0, 31, 0)    # internal newlines kept in paras
+    for i in (0, 1):                  # NULL/blank: listed with zeros
+        assert row(i) == (0, 0, 0, 0)
+        assert pr.loc[i, "dup_para_frac"] == 0.0
+        assert pr.loc[i, "dup_para_char_frac"] == 0.0

@@ -78,6 +78,11 @@ def _counts(df):
     # per-source agg + the two 1-row corpus-constant stages (tiny
     # table; the constants ride a broadcast back, never a window)
     ("source_mixture", 3, 0),
+    # fp count-distinct agg + occurrence-side fp join exchange +
+    # doc-keyed agg; the list-every-doc left join must stay
+    # broadcast/equi — a cartesian or a 4th exchange means the
+    # fixed-width-fp join shape broke
+    ("paragraph_dedup", 3, 0),
     # quarantine rides the corpus scan: ZERO shuffles; 2 Python stages
     # = the seeded-corpus mapInPandas synthesis + the status kernel
     # (a production read replaces the first with a parquet scan)
