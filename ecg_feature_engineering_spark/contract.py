@@ -3972,6 +3972,60 @@ def q_pack_efficiency(spark, sf_dir):
     return corpus.pack_efficiency(d, ctx=512, shard_col="source")
 
 
+@register("dsir_importance", r"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                x -> x <> '') AS t
+  FROM documents),
+uni AS (SELECT doc_id, unnest(t) AS g FROM tok),
+big AS (SELECT doc_id, t[s.i] || ' ' || t[s.i + 1] AS g
+        FROM tok, unnest(generate_series(1, len(t) - 1)) AS s(i)
+        WHERE len(t) >= 2),
+occ AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 10000 AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+occ_t AS (SELECT b FROM occ WHERE doc_id % 50 = 0),
+cq AS (SELECT doc_id, b, count(*)::BIGINT AS c
+       FROM occ WHERE doc_id % 50 <> 0 GROUP BY doc_id, b),
+nt AS (SELECT b, count(*)::BIGINT AS nt FROM occ_t GROUP BY b),
+nq AS (SELECT b, sum(c)::BIGINT AS nq FROM cq GROUP BY b),
+k AS (SELECT (SELECT count(*) FROM occ_t)::BIGINT AS tt,
+             (SELECT coalesce(sum(nq), 0) FROM nq)::BIGINT AS qq),
+w AS (
+  -- ONE ln() of one exact-integer-derived ratio, every operand cast to
+  -- DOUBLE individually — mirrors the engine expression term-for-term
+  SELECT nq.b,
+    CAST(floor(ln(
+      ((coalesce(nt.nt, 0) + 1)::DOUBLE * (k.qq + 10000)::DOUBLE)
+      / ((nq.nq + 1)::DOUBLE * (k.tt + 10000)::DOUBLE))
+      * 1000000.0::DOUBLE) AS BIGINT) AS lr
+  FROM nq LEFT JOIN nt USING (b) CROSS JOIN k),
+sc AS (SELECT cq.doc_id, sum(cq.c)::BIGINT AS n_grams,
+              sum(cq.c * w.lr)::BIGINT AS dsir_logw_micro
+       FROM cq JOIN w USING (b) GROUP BY cq.doc_id)
+SELECT d.doc_id,
+  coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+  coalesce(sc.dsir_logw_micro, 0)::BIGINT AS dsir_logw_micro
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN sc USING (doc_id)
+""")
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023 hashed-n-gram recipe;
+    scale addition): every raw doc (doc_id % 50 != 0) scored by
+    log p_target/p_raw over Laplace-smoothed 10k-bucket hashed
+    unigram+bigram distributions, target = the deterministic in-corpus
+    doc_id % 50 == 0 split (same convention as
+    benchmark_contamination). Per-bucket log-ratios FLOOR-quantized to
+    BIGINT micros once; per-doc scores are INT64 sums
+    (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = d.where(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    target = d.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    return corpus.dsir_importance(raw, target, "text", "doc_id",
+                                  buckets=10_000)
+
+
 @register("paragraph_dedup", r"""
 WITH p AS (
   SELECT doc_id,
@@ -4122,6 +4176,7 @@ QUERY_ORDER: list[str] = [
     "benchmark_contamination", "pack_token_stream",
     "line_repetition", "top_ngram_stats",
     "pack_efficiency", "source_mixture", "paragraph_dedup",
+    "dsir_importance",
 ]
 
 

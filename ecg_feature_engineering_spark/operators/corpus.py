@@ -396,3 +396,114 @@ def source_mixture(df: DataFrame, text_col: str = "text",
         F.when(F.col("__tot_sqrt") > 0,
                F.expr("(sqrt_micro * 1000000) div __tot_sqrt"))
         .cast("long").alias("w_alpha_micro"))
+
+
+def _gram_bucket(gram, buckets: int):
+    """Portable hashed-n-gram feature bucket: first 32 md5 bits (via
+    conv, byte-identical in DuckDB as CAST('0x'||substr(md5,1,8) AS
+    BIGINT)) mod ``buckets`` — the same cross-engine hash contract the
+    minhash/simhash oracles pin (operators/dedup.py)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets))
+
+
+def _unigram_bigram_occurrences(df: DataFrame, text_col: str,
+                                doc_id: str, buckets: int) -> DataFrame:
+    """(doc_id, bucket) per unigram AND bigram occurrence — the DSIR
+    feature space. One explode for both orders (the top-n-gram trick);
+    the gram array is bound to a column before the explode (lambda
+    re-eval + InferFiltersFromGenerate traps, CLAUDE.md)."""
+    base = df.select(F.col(doc_id).alias("doc_id"),
+                     words(F.lower(F.col(text_col))).alias("__toks"))
+    toks = F.col("__toks")
+    k = F.size(toks)
+    bigrams = F.when(k >= 2, F.transform(
+        F.sequence(F.lit(1), k - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    g = (base.withColumn("__grams", F.concat(toks, bigrams))
+         .select("doc_id", F.explode_outer("__grams").alias("__g"))
+         .where(F.col("__g").isNotNull()))
+    return g.select("doc_id", _gram_bucket(F.col("__g"), buckets)
+                    .alias("bucket"))
+
+
+def dsir_importance(df_raw: DataFrame, df_target: DataFrame,
+                    text_col: str = "text", doc_id: str = "doc_id",
+                    buckets: int = 10_000) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — the public hashed
+    n-gram recipe): score every RAW doc by how target-like its hashed
+    unigram+bigram distribution is, ``log p_target/p_raw`` summed over
+    its gram occurrences, with Laplace-smoothed bucket probabilities
+    p[b] = (n[b]+1)/(N+B).
+
+    100 TB shape: gram explode per side -> one count agg onto the
+    FIXED-cardinality bucket space (B=10k rows regardless of corpus
+    size — the whole point of hashed features) -> per-(doc,bucket)
+    count agg -> broadcast the 10k-row weight table back -> doc agg.
+    No pair space, no vocabulary blowup, no collect.
+
+    Exactness: each bucket's log-ratio goes through the FLOOR micro
+    grid ONCE — computed from a single ln() of one exact-integer-
+    derived ratio ((nt+1)(Q+B)) / ((nq+1)(T+B)), each operand cast to
+    DOUBLE individually so both engines evaluate the identical float
+    expression — and the per-doc score is an INT64 sum of
+    count * micro (float log-sums would be partition-order-dependent).
+    Products stay under 2^53 while occurrence totals < ~9e15/count
+    (documented precondition, cf. the variability family). Every raw
+    doc is listed; gram-less docs score exactly 0."""
+    # Fit pass / score pass — the real DSIR deployment shape (fit the
+    # 10k-row bucket model over both splits once; score raw shards
+    # against the broadcast model). The totals T/Q come from an
+    # explode-FREE pre-pass: a k-token doc contributes exactly
+    # k + (k-1) = 2k-1 gram occurrences (k >= 1), so the corpus totals
+    # are one column-pruned scan agg each — no third explode branch
+    # (the naive marg.agg() spelling re-derived the whole union
+    # subtree: plan-verified 10 -> 6 exchanges).
+    def _occ_total(d: DataFrame, alias: str) -> DataFrame:
+        k = F.coalesce(token_count(F.lower(F.col(text_col))), F.lit(0))
+        per_doc = F.when(k >= 1, 2 * k - 1).otherwise(0)
+        return d.agg(F.coalesce(F.sum(per_doc), F.lit(0)).cast("long")
+                     .alias(alias))
+
+    occ = (_unigram_bigram_occurrences(df_raw, text_col, doc_id, buckets)
+           .withColumn("__tgt", F.lit(0))
+           .unionByName(
+               _unigram_bigram_occurrences(df_target, text_col, doc_id,
+                                           buckets)
+               .withColumn("__tgt", F.lit(1))))
+    cqa = (occ.groupBy("doc_id", "bucket", "__tgt")
+           .agg(F.count(F.lit(1)).alias("__c")))
+    marg = cqa.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt") == 1, F.col("__c")).otherwise(0))
+        .alias("__nt"),
+        F.sum(F.when(F.col("__tgt") == 0, F.col("__c")).otherwise(0))
+        .alias("__nq"))
+    w = (marg.where(F.col("__nq") > 0)   # only raw buckets get scored
+         .crossJoin(F.broadcast(_occ_total(df_target, "__T")))
+         .crossJoin(F.broadcast(_occ_total(df_raw, "__Q"))))
+    ratio = ((F.col("__nt") + 1).cast("double")
+             * (F.coalesce(F.col("__Q"), F.lit(0)) + buckets)
+             .cast("double")
+             / ((F.col("__nq") + 1).cast("double")
+                * (F.coalesce(F.col("__T"), F.lit(0)) + buckets)
+                .cast("double")))
+    w = w.select("bucket",
+                 F.floor(F.log(ratio) * F.lit(MICRO)).cast("long")
+                 .alias("__lr_micro"))
+    scored = (cqa.where(F.col("__tgt") == 0)
+              .join(F.broadcast(w), "bucket")
+              .groupBy("doc_id")
+              .agg(F.sum("__c").cast("long").alias("n_grams"),
+                   F.sum(F.col("__c") * F.col("__lr_micro"))
+                   .cast("long").alias("dsir_logw_micro")))
+    return (df_raw.select(F.col(doc_id).alias("doc_id"))
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.coalesce("dsir_logw_micro", F.lit(0)).cast("long")
+                    .alias("dsir_logw_micro")))

@@ -202,6 +202,10 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # single-line docs are 1-para docs (planted structure lives in
         # test_paragraph_dedup_parity's dedicated fixture)
         "paragraph_dedup",
+        # DSIR under NULL/blank raw docs (listed, score exactly 0) and
+        # a 1-token target (no bigrams; hand-computed pins live in
+        # test_dsir_importance_parity's dedicated fixture)
+        "dsir_importance",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3
@@ -764,3 +768,62 @@ def test_paragraph_dedup_parity(spark, duck, paragraphs_dir):
         assert row(i) == (0, 0, 0, 0)
         assert pr.loc[i, "dup_para_frac"] == 0.0
         assert pr.loc[i, "dup_para_char_frac"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def dsir_dir(spark, tmp_path_factory):
+    """Micro-corpus with hand-computable DSIR weights: target (doc_id
+    % 50 == 0) is one 3-token doc; raw doc 1 is its exact copy (must
+    score POSITIVE — more target-like than the smoothed prior), raw
+    doc 2 is vocabulary-disjoint (negative), docs 3/4 NULL/empty
+    (listed, score exactly 0). The 8 planted grams land in 8 distinct
+    md5 buckets (verified offline), so the expected micro scores are
+    exact closed forms the test recomputes."""
+    root = tmp_path_factory.mktemp("dsir")
+    rows = [
+        (0, "t", "apple banana apple"),    # target: T = 2*3-1 = 5
+        (1, "r", "apple banana apple"),    # identical -> positive
+        (2, "r", "zeta yotta zeta"),       # disjoint -> negative
+        (3, "r", None),
+        (4, "r", ""),
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_dsir_importance_parity(spark, duck, dsir_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                 f"'{dsir_dir}/documents.parquet/*.parquet'")
+    _compare(spark, duck, ["dsir_importance"], dsir_dir)
+    # parity could be 'wrong together' — recompute the expected micro
+    # scores from the published formula (T=5 target / Q=10 raw
+    # occurrences, B=10000, Laplace-smoothed):
+    #   lr(nt, nq) = floor(ln(((nt+1)(Q+B)) / ((nq+1)(T+B))) * 1e6)
+    import math
+
+    def lr(nt, nq):
+        return math.floor(math.log(((nt + 1) * (10 + 10_000))
+                                   / ((nq + 1) * (5 + 10_000))) * 1e6)
+
+    ds = (contract.QUERY_BUILDERS["dsir_importance"](spark, dsir_dir)
+          .toPandas().set_index("doc_id"))
+    # doc 1 = exact target copy: buckets {apple: nt2/nq2, banana 1/1,
+    # 'apple banana' 1/1, 'banana apple' 1/1} -> 2*lr(2,2) + 3*lr(1,1)
+    assert int(ds.loc[1, "n_grams"]) == 5
+    assert int(ds.loc[1, "dsir_logw_micro"]) == 2 * lr(2, 2) + 3 * lr(1, 1)
+    assert int(ds.loc[1, "dsir_logw_micro"]) > 0
+    # doc 2 = disjoint: 2*lr(0,2) + 3*lr(0,1) < 0
+    assert int(ds.loc[2, "n_grams"]) == 5
+    assert int(ds.loc[2, "dsir_logw_micro"]) == 2 * lr(0, 2) + 3 * lr(0, 1)
+    assert int(ds.loc[2, "dsir_logw_micro"]) < 0
+    assert int(ds.loc[1, "dsir_logw_micro"]) > int(
+        ds.loc[2, "dsir_logw_micro"])
+    for i in (3, 4):                   # NULL/empty raw: listed, 0
+        assert (int(ds.loc[i, "n_grams"]),
+                int(ds.loc[i, "dsir_logw_micro"])) == (0, 0)
+    assert 0 not in ds.index           # target docs are not scored

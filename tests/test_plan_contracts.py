@@ -83,6 +83,12 @@ def _counts(df):
     # broadcast/equi — a cartesian or a 4th exchange means the
     # fixed-width-fp join shape broke
     ("paragraph_dedup", 3, 0),
+    # DSIR fit/score two-pass: union cqa agg + bucket marginal + two
+    # explode-free SinglePartition totals + score-side cqa + doc agg +
+    # the list-every-doc join's left-side exchange; the 10k-row model
+    # must ride a broadcast (a bucket-keyed shuffle of occurrences =
+    # the hot-bucket skew regression)
+    ("dsir_importance", 7, 0),
     # quarantine rides the corpus scan: ZERO shuffles; 2 Python stages
     # = the seeded-corpus mapInPandas synthesis + the status kernel
     # (a production read replaces the first with a parquet scan)
