@@ -3972,6 +3972,96 @@ def q_pack_efficiency(spark, sf_dir):
     return corpus.pack_efficiency(d, ctx=512, shard_col="source")
 
 
+@register("domain_mix", rf"""
+WITH a AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 5 = 0
+        THEN ' see http://site' || (doc_id % 7) || '.example.org/path'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+        THEN ' also https://CDN' || (doc_id % 4) || '.example.net/asset'
+        ELSE '' END) AS aug
+  FROM documents),
+u AS (SELECT doc_id,
+        unnest(regexp_extract_all(coalesce(aug, ''),
+                                  '{text.URL_PATTERN}')) AS url
+      FROM a),
+o AS (SELECT doc_id,
+        lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1))
+          AS domain
+      FROM u),
+g AS (SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        count(*)::BIGINT AS n_urls
+      FROM o WHERE domain <> '' GROUP BY domain),
+t AS (SELECT sum(n_urls)::BIGINT AS tot FROM g)
+SELECT g.domain, g.n_docs, g.n_urls,
+  g.n_urls::DOUBLE / t.tot::DOUBLE AS url_share
+FROM g CROSS JOIN t
+""")
+def q_domain_mix(spark, sf_dir):
+    """Per-domain URL mix (web-pipeline blocklist/rebalance report;
+    scale addition). The driver's documents contain no URLs, so both
+    sides deterministically AUGMENT the text from doc_id (the pii_scrub
+    convention) — two planted domain families with different
+    frequencies; the uppercase CDN host pins the lowercasing.
+    url_share is one exact int/int quotient (operators/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" see http://site"),
+                        (did % 7).cast("string"),
+                        F.lit(".example.org/path"))).otherwise(F.lit("")),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" also https://CDN"),
+                        (did % 4).cast("string"),
+                        F.lit(".example.net/asset"))).otherwise(F.lit("")),
+    )
+    return text.domain_mix(d.withColumn("text", aug), "text", "doc_id")
+
+
+@register("mixture_sample", r"""
+WITH d AS (
+  SELECT doc_id, source,
+    coalesce(len(list_filter(regexp_split_to_array(lower(text),
+                                                   '[ \t\n\x0B\f\r]+'),
+                             x -> x <> '')), 0)::BIGINT AS nt
+  FROM documents),
+s AS (SELECT source, sum(nt)::BIGINT AS n_tokens FROM d GROUP BY source),
+m AS (SELECT source,
+        CASE WHEN n_tokens > 0 THEN
+          (CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000.0::DOUBLE)
+                AS BIGINT) * 1000000) // n_tokens
+        ELSE 0 END::BIGINT AS ratio_micro
+      FROM s),
+k AS (SELECT max(ratio_micro)::BIGINT AS mx FROM m),
+rates AS (
+  SELECT m.source,
+    CASE WHEN k.mx > 0 THEN (m.ratio_micro * 1000000) // k.mx
+    ELSE 0 END::BIGINT AS keep_micro
+  FROM m CROSS JOIN k)
+SELECT doc.doc_id, doc.source, rates.keep_micro,
+  CAST('0x' || substr(md5(doc.doc_id::VARCHAR), 1, 8) AS BIGINT)
+    % 1000000 AS sample_bucket
+FROM documents doc JOIN rates USING (source)
+WHERE CAST('0x' || substr(md5(doc.doc_id::VARCHAR), 1, 8) AS BIGINT)
+    % 1000000 < rates.keep_micro
+""")
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic temperature downsampling to the source_mixture
+    alpha=0.5 weights (scale addition): each source keeps a hash-stable
+    doc fraction ∝ 1/sqrt(its token mass), smallest source keeps 100%.
+    Membership is a pure function of doc_id (portable md5-prefix bucket
+    mod 1e6 — the hash_split reproducibility property, oracle-checkable
+    unlike xxhash64); keep rates derived integerly on the FLOOR micro
+    grid (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    out = corpus.sample_to_mixture(d, "text", "doc_id", "source")
+    return out.select("doc_id", "source", "keep_micro", "sample_bucket")
+
+
 @register("dsir_importance", r"""
 WITH tok AS (
   SELECT doc_id,
@@ -4176,7 +4266,7 @@ QUERY_ORDER: list[str] = [
     "benchmark_contamination", "pack_token_stream",
     "line_repetition", "top_ngram_stats",
     "pack_efficiency", "source_mixture", "paragraph_dedup",
-    "dsir_importance",
+    "dsir_importance", "domain_mix", "mixture_sample",
 ]
 
 

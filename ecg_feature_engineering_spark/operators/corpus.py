@@ -507,3 +507,63 @@ def dsir_importance(df_raw: DataFrame, df_target: DataFrame,
                     .alias("n_grams"),
                     F.coalesce("dsir_logw_micro", F.lit(0)).cast("long")
                     .alias("dsir_logw_micro")))
+
+
+def sample_to_mixture(df: DataFrame, text_col: str = "text",
+                      doc_id: str = "doc_id",
+                      shard_col: str = "source") -> DataFrame:
+    """APPLY the :func:`source_mixture` temperature weights (alpha=0.5)
+    by deterministic downsampling: each source keeps a hash-stable
+    fraction of its docs proportional to w_alpha/prop ∝ 1/sqrt(its
+    token mass), scaled so the smallest source keeps 100% — the mT5/
+    Pile rebalance realized as a filter instead of a report.
+
+    Reproducibility contract (the hash_split property): membership is a
+    pure function of doc_id — stable under repartitioning, reruns, and
+    cluster size. The per-source keep rate is derived INTEGERLY on the
+    micro grid (sqrt_micro from :func:`source_mixture`'s FLOOR grid;
+    two int64 floor-divisions; float arithmetic would round differently
+    per engine) and the doc bucket is the portable md5-prefix hash of
+    the doc_id string mod 1e6 — oracle-expressible, unlike xxhash64.
+
+    100 TB shape: the per-source rate table is tiny (one groupBy) and
+    broadcast back onto the scan; the filter is scan-local — ONE
+    corpus-sized agg pass + one filter pass, no doc-keyed shuffle.
+    Int64 domain: sources under ~9e15 tokens (ratio_micro * 1e6
+    headroom; cf. the source_mixture precondition). All-empty sources
+    keep nothing (w_alpha is 0 — they contribute no token mass).
+    """
+    n_tok = F.coalesce(token_count(F.lower(F.col(text_col))), F.lit(0))
+    per_src = (df.select(F.col(shard_col).alias("__src"),
+                         n_tok.cast("long").alias("__nt"))
+               .groupBy("__src")
+               .agg(F.sum("__nt").cast("long").alias("__n_tokens")))
+    per_src = per_src.withColumn(
+        "__sqrt_micro",
+        F.floor(F.sqrt(F.col("__n_tokens").cast("double")) * MICRO)
+        .cast("long"))
+    # keep ∝ 1/sqrt(n_s): ratio_micro = 1e6 * sqrt_micro / n_tokens
+    # (∝ 1e12/sqrt(n_s)); the max over sources belongs to the SMALLEST
+    # source, which therefore keeps everything
+    per_src = per_src.withColumn(
+        "__ratio_micro",
+        F.when(F.col("__n_tokens") > 0,
+               F.expr("(__sqrt_micro * 1000000) div __n_tokens"))
+        .otherwise(F.lit(0)).cast("long"))
+    mx = per_src.agg(F.max("__ratio_micro").alias("__max_ratio"))
+    rates = (per_src.crossJoin(F.broadcast(mx))
+             .select("__src",
+                     F.when(F.col("__max_ratio") > 0,
+                            F.expr("(__ratio_micro * 1000000)"
+                                   " div __max_ratio"))
+                     .otherwise(F.lit(0)).cast("long")
+                     .alias("keep_micro")))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(doc_id).cast("string")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(1_000_000))
+    return (df.join(F.broadcast(rates),
+                    df[shard_col] == F.col("__src"))
+            .withColumn("sample_bucket", bucket)
+            .where(F.col("sample_bucket") < F.col("keep_micro"))
+            .drop("__src"))

@@ -458,3 +458,45 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                    WS_PATTERN, " "))
     return df.withColumn(out, F.md5(norm))
+
+
+#: Host part of a URL_PATTERN match (subset char class: stops at the
+#: first /, _ or % — explicit ASCII, identical in Java regex and RE2).
+DOMAIN_PATTERN = "https?://([A-Za-z0-9.-]+)"
+
+
+def domain_mix(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain URL mix over the corpus (the web-pipeline report a
+    domain blocklist / crawl-rebalance run is configured from): for
+    every lowercased URL host appearing in the text, the number of
+    URL occurrences and of distinct documents mentioning it, plus its
+    share of all URL occurrences.
+
+    100 TB shape: extraction is scan-local; one explode + one (domain)
+    count agg; the corpus total rides a 1-row broadcast back (the
+    source_mixture constant pattern). The URL array is bound to a
+    column before the explode (explode_outer + isNotNull — the
+    InferFiltersFromGenerate trap, CLAUDE.md). ``url_share`` is one
+    exact int/int quotient emitted unrounded; URLs whose post-scheme
+    text starts outside the host class (e.g. ``http:///``) extract an
+    empty host and are dropped on BOTH engines."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0))
+        .alias("__urls"))
+    occ = (base.select("doc_id", F.explode_outer("__urls").alias("__u"))
+           .where(F.col("__u").isNotNull())
+           .select("doc_id",
+                   F.lower(F.regexp_extract("__u", DOMAIN_PATTERN, 1))
+                   .alias("domain"))
+           .where(F.col("domain") != ""))
+    agg = occ.groupBy("domain").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_urls"))
+    tot = agg.agg(F.sum("n_urls").cast("long").alias("__tot"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("domain", "n_docs", "n_urls",
+                    (F.col("n_urls").cast("double")
+                     / F.col("__tot").cast("double")).alias("url_share")))

@@ -206,6 +206,10 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # a 1-token target (no bigrams; hand-computed pins live in
         # test_dsir_importance_parity's dedicated fixture)
         "dsir_importance",
+        # domain extraction fires on the deterministic augmentation
+        # (NULL text stays NULL through concat on both engines);
+        # mixture sampling over the 3 near-equal hostile sources
+        "domain_mix", "mixture_sample",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3
@@ -827,3 +831,62 @@ def test_dsir_importance_parity(spark, duck, dsir_dir):
         assert (int(ds.loc[i, "n_grams"]),
                 int(ds.loc[i, "dsir_logw_micro"])) == (0, 0)
     assert 0 not in ds.index           # target docs are not scored
+
+
+@pytest.fixture(scope="module")
+def mixture_dir(spark, tmp_path_factory):
+    """Sources with a 100:1 token-mass skew — the driver corpus's
+    near-equal sources keep ~91% everywhere, certifying little: 'small'
+    (8 tokens) must keep 100%, 'big' (800 tokens) ~10% = sqrt(8/800),
+    'zero' (NULL + empty docs) must keep NOTHING; membership is
+    recomputed from the md5 rule doc-by-doc."""
+    root = tmp_path_factory.mktemp("mixture")
+    rows = ([(i, "small", "a b c d") for i in range(2)]
+            + [(100 + i, "big", " ".join(f"w{j}" for j in range(40)))
+               for i in range(20)]
+            + [(200, "zero", None), (201, "zero", "")])
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_mixture_sample_parity(spark, duck, mixture_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                 f"'{mixture_dir}/documents.parquet/*.parquet'")
+    _compare(spark, duck, ["mixture_sample", "source_mixture"],
+             mixture_dir)
+    # parity could be 'wrong together' — recompute the integer rate
+    # derivation and the md5 membership rule doc-by-doc.
+    import hashlib
+    import math
+
+    def ratio(n_tokens):
+        return (math.floor(math.sqrt(n_tokens) * 1e6)
+                * 1_000_000) // n_tokens
+
+    mx_ratio = ratio(8)                      # smallest source owns max
+    keep = {"small": (ratio(8) * 1_000_000) // mx_ratio,
+            "big": (ratio(800) * 1_000_000) // mx_ratio,
+            "zero": 0}
+    assert keep["small"] == 1_000_000        # keeps everything
+    assert 90_000 < keep["big"] < 110_000    # ~ sqrt(8/800) = 10%
+
+    def bucket(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return int(h, 16) % 1_000_000
+
+    ms = (contract.QUERY_BUILDERS["mixture_sample"](spark, mixture_dir)
+          .toPandas().set_index("doc_id").sort_index())
+    expected = {i: "small" for i in range(2)
+                if bucket(i) < keep["small"]}
+    expected.update({100 + i: "big" for i in range(20)
+                     if bucket(100 + i) < keep["big"]})
+    assert dict(ms["source"]) == expected    # exact membership
+    assert set(ms.index).isdisjoint({200, 201})   # zero source: nothing
+    for i, r in ms.iterrows():
+        assert int(r["keep_micro"]) == keep[r["source"]]
+        assert int(r["sample_bucket"]) == bucket(i)

@@ -89,6 +89,14 @@ def _counts(df):
     # must ride a broadcast (a bucket-keyed shuffle of occurrences =
     # the hot-bucket skew regression)
     ("dsir_importance", 7, 0),
+    # scan-local URL extraction -> (domain, doc) distinct + domain agg
+    # (count-distinct two-phase) + the 1-row total; share rides a
+    # broadcast back
+    ("domain_mix", 4, 0),
+    # one corpus agg pass (source rates) + the tiny max stage; the
+    # rate table must ride a BROADCAST back onto the scan filter — a
+    # doc-keyed shuffle means the scan-local sampling shape broke
+    ("mixture_sample", 3, 0),
     # quarantine rides the corpus scan: ZERO shuffles; 2 Python stages
     # = the seeded-corpus mapInPandas synthesis + the status kernel
     # (a production read replaces the first with a parquet scan)
