@@ -37,9 +37,11 @@ def docs_dir(spark, tmp_path_factory):
 def test_streaming_quality_equals_batch(spark, docs_dir):
     def chain(df):
         # winnow_fingerprints included: the winnowing selection is
-        # scan-local array algebra, so it too runs unchanged on streams
-        return text.winnow_fingerprints(text.pii_scrub(
-            text.dup_ngram_stats(text.gopher_quality(df))))
+        # scan-local array algebra, so it too runs unchanged on streams;
+        # line_repetition_stats likewise (within-doc arrays, no state)
+        return text.line_repetition_stats(text.winnow_fingerprints(
+            text.pii_scrub(
+                text.dup_ngram_stats(text.gopher_quality(df)))))
 
     batch = chain(spark.read.parquet(docs_dir)) \
         .toPandas().sort_values("doc_id").reset_index(drop=True)
