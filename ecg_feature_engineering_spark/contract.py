@@ -4196,6 +4196,126 @@ def q_source_mixture(spark, sf_dir):
     return corpus.source_mixture(d, shard_col="source")
 
 
+@register("corpus_curate", rf"""
+WITH cand AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 0),
+gw AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, {_WS_SQL}), x -> x <> '') AS ws,
+    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbol
+  FROM cand),
+gs AS (
+  SELECT doc_id, n_symbol, len(ws) AS n_words,
+    list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS wl_sum,
+    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter({_STOP_SQL},
+        s -> list_contains(list_transform(ws, x -> lower(x)), s)))
+      AS n_stop_d
+  FROM gw),
+pass AS (
+  SELECT doc_id FROM gs
+  WHERE coalesce(n_words BETWEEN 3 AND 100000
+    AND (CASE WHEN n_words > 0 THEN wl_sum / n_words::DOUBLE
+         ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+    AND (CASE WHEN n_words > 0 THEN n_symbol / n_words::DOUBLE
+         ELSE 0.0 END) <= 0.1
+    AND (CASE WHEN n_words > 0 THEN n_alpha / n_words::DOUBLE
+         ELSE 0.0 END) >= 0.8
+    AND n_stop_d >= 2, FALSE)),
+scrub AS (
+  SELECT c.doc_id, c.source,
+    regexp_replace(regexp_replace(c.text,
+        '{text.URL_PATTERN}', '<PII>', 'g'),
+        '{text.EMAIL_PATTERN}', '<PII>', 'g') AS text
+  FROM cand c JOIN pass USING (doc_id)),
+ded AS (
+  SELECT doc_id, source, text FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text),
+                                           {_WS_SQL}, ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM scrub) WHERE rn = 1),
+ctoks AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(regexp_replace(lower(text),
+                                              {_WS_SQL}, ' ', 'g')),
+                          ' ') AS t
+  FROM ded WHERE text IS NOT NULL),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM ctoks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+btoks AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(regexp_replace(lower(text),
+                                              {_WS_SQL}, ' ', 'g')),
+                          ' ') AS t
+  FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+bsh AS (
+  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram
+  FROM btoks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+ctot AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+chit AS (SELECT s.doc_id, count(*) AS h FROM csh s JOIN bsh USING (gram)
+         GROUP BY s.doc_id),
+clean AS (
+  SELECT d.* FROM ded d
+  LEFT JOIN ctot t USING (doc_id) LEFT JOIN chit h USING (doc_id)
+  WHERE NOT (coalesce(t.n, 0) > 0
+             AND coalesce(h.h, 0) * 100 >= t.n * 80)),
+mtok AS (
+  SELECT doc_id, source,
+    coalesce(len(list_filter(regexp_split_to_array(lower(text),
+                                                   {_WS_SQL}),
+                             x -> x <> '')), 0)::BIGINT AS nt
+  FROM clean),
+msrc AS (SELECT source, sum(nt)::BIGINT AS n_tokens
+         FROM mtok GROUP BY source),
+mr AS (SELECT source,
+         CASE WHEN n_tokens > 0 THEN
+           (CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000.0::DOUBLE)
+                 AS BIGINT) * 1000000) // n_tokens
+         ELSE 0 END::BIGINT AS ratio_micro
+       FROM msrc),
+mk AS (SELECT max(ratio_micro)::BIGINT AS mx FROM mr),
+rates AS (SELECT mr.source,
+            CASE WHEN mk.mx > 0 THEN (mr.ratio_micro * 1000000) // mk.mx
+            ELSE 0 END::BIGINT AS keep_micro
+          FROM mr CROSS JOIN mk),
+samp AS (
+  SELECT m.doc_id, m.source AS shard, m.nt AS n_tokens
+  FROM mtok m JOIN rates r USING (source)
+  WHERE CAST('0x' || substr(md5(m.doc_id::VARCHAR), 1, 8) AS BIGINT)
+      % 1000000 < r.keep_micro),
+pc AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM samp),
+pe AS (
+  SELECT doc_id, shard, n_tokens,
+    (cum - n_tokens)::BIGINT AS start_off,
+    CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
+         AS BIGINT) AS chunk_first,
+    greatest(
+      CAST(floor((cum::DOUBLE - 1.0::DOUBLE) / 512.0::DOUBLE) AS BIGINT),
+      CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
+           AS BIGINT)) AS chunk_last
+  FROM pc)
+SELECT doc_id, shard, n_tokens, start_off, chunk_first, chunk_last,
+  (chunk_last - chunk_first + 1)::BIGINT AS n_chunks
+FROM pe
+""")
+def q_corpus_curate(spark, sf_dir):
+    """The END-TO-END curation pipeline (plans/corpus_pipeline.py) as
+    one certified query: benchmark holdout -> Gopher filter -> PII
+    scrub -> exact dedup -> decontamination -> mixture downsample ->
+    token packing, replayed stage-for-stage as one DuckDB CTE chain.
+    Every stage is an already-certified operator; this certifies the
+    COMPOSITION (stage ordering, column flow, survivor sets)."""
+    d = _t(spark, sf_dir, "documents")
+    from ecg_feature_engineering_spark.plans import corpus_pipeline
+    return corpus_pipeline.curate(d, bench_mod=50, ctx=512)
+
+
 # =====================================================================
 # Driver certification-window ordering
 # =====================================================================
@@ -4266,7 +4386,7 @@ QUERY_ORDER: list[str] = [
     "benchmark_contamination", "pack_token_stream",
     "line_repetition", "top_ngram_stats",
     "pack_efficiency", "source_mixture", "paragraph_dedup",
-    "dsir_importance", "domain_mix", "mixture_sample",
+    "dsir_importance", "domain_mix", "mixture_sample", "corpus_curate",
 ]
 
 

@@ -1,0 +1,76 @@
+"""End-to-end corpus curation plan — the documents-table counterpart of
+``plans/flagship.py``: the standard web-corpus curation sequence
+(RefinedWeb / Dolma stage order) composed into ONE lazy Catalyst plan,
+
+  1. hold out the benchmark split entirely (doc_id % bench_mod == 0);
+  2. Gopher quality filter (published thresholds, operators/text.py);
+  3. PII scrub — URLs then emails redacted in place (C4 rule);
+  4. exact dedup on the normalized-scrubbed-text fingerprint
+     (min-doc_id representative, operators/dedup.py);
+  5. benchmark decontamination — drop candidates whose distinct word
+     3-grams are >= 80% covered by the benchmark (operators/corpus.py);
+  6. temperature downsampling to the alpha=0.5 source mixture, rates
+     computed on the SURVIVOR token mass (the mixture actually trained
+     on), membership a pure hash of doc_id (resumable / rerun-stable);
+  7. GPT-style token-stream packing of the survivors into fixed
+     ctx-token context windows.
+
+Reference lineage: the reference's whole preprocessing story is the
+serial blacklist-filter + per-record loop (preprocess-300hz.py:93-186);
+this is that fault-tolerant curation idea at web-pipeline scope, one
+declarative plan end to end — every stage is an already-certified
+operator, and the COMPOSITION is itself oracle-certified
+(contract.py `corpus_curate`: the full chain replayed as one DuckDB
+CTE pipeline).
+
+100 TB shape: stages 2-3 are scan-local; stage 4 is one fingerprint
+shuffle; stage 5 joins grams against the (small) benchmark gram set;
+stage 6 is one tiny agg + a broadcast-rate scan filter; stage 7 is the
+per-shard packing window. Nothing materializes between stages unless
+the caller checkpoints (jobs may checkpoint after stage 5 the way
+flagship_job checkpoints its quarantine table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecg_feature_engineering_spark.operators import corpus, dedup, text
+
+
+def curate(docs: DataFrame, bench_mod: int = 50, ctx: int = 512,
+           text_col: str = "text", doc_id: str = "doc_id",
+           shard_col: str = "source") -> DataFrame:
+    """Run the full curation sequence; returns the packed token-stream
+    table (doc_id, shard, n_tokens, start_off, chunk_first, chunk_last,
+    n_chunks) of the surviving documents."""
+    did = F.col(doc_id)
+    bench = docs.where(F.pmod(did, F.lit(bench_mod)) == 0)
+    cand = docs.where(F.pmod(did, F.lit(bench_mod)) != 0)
+
+    passed = (text.gopher_quality(cand, text_col)
+              .where(F.col("passes_gopher"))
+              .select(doc_id, shard_col, text_col))
+
+    # URLs before emails: an email pattern can match inside a URL's
+    # userinfo but not vice versa (the pii_scrub rule)
+    scrubbed = passed.withColumn(
+        text_col,
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), text.URL_PATTERN, "<PII>"),
+            text.EMAIL_PATTERN, "<PII>"))
+
+    deduped = dedup.dedup_exact(scrubbed, text_col, doc_id)
+
+    cont = corpus.benchmark_contamination(deduped, bench, text_col,
+                                          doc_id, n=3, threshold_pct=80)
+    clean = deduped.join(
+        cont.where(~F.col("contaminated")).select("doc_id"),
+        "doc_id", "left_semi")
+
+    sampled = corpus.sample_to_mixture(clean, text_col, doc_id,
+                                       shard_col)
+    return corpus.pack_token_stream(
+        sampled.select(doc_id, shard_col, text_col),
+        ctx=ctx, text_col=text_col, doc_id=doc_id, shard_col=shard_col)

@@ -210,6 +210,10 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # (NULL text stays NULL through concat on both engines);
         # mixture sampling over the 3 near-equal hostile sources
         "domain_mix", "mixture_sample",
+        # the composed pipeline: NULL/blank/short docs must die at the
+        # Gopher stage identically in both engines before any later
+        # stage can see them
+        "corpus_curate",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3

@@ -1,0 +1,69 @@
+"""Structural invariants of the composed curation pipeline
+(plans/corpus_pipeline.py) — the oracle parity (contract
+`corpus_curate`) certifies the VALUES; this pins the properties a
+curation run is trusted for: benchmark holdout, dedup uniqueness,
+stream-offset consistency, and rerun determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ecg_feature_engineering_spark import contract
+from ecg_feature_engineering_spark.operators import text
+from ecg_feature_engineering_spark.plans import corpus_pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_curate_invariants(spark):
+    contract.ensure_workers_can_import(spark)
+    docs = _docs(spark)
+    out = corpus_pipeline.curate(docs, bench_mod=50, ctx=512).toPandas()
+    assert len(out) > 0
+
+    # 1. benchmark holdout: no doc_id % 50 == 0 ever reaches the output
+    assert (out["doc_id"] % 50 != 0).all()
+    # 2. survivors are a subset of the input
+    all_ids = set(docs.select("doc_id").toPandas()["doc_id"])
+    assert set(out["doc_id"]) <= all_ids
+
+    # 3. per-shard stream offsets are exactly the running token sum in
+    # doc_id order (no gaps, no overlaps)
+    for shard, g in out.sort_values("doc_id").groupby("shard"):
+        cum = 0
+        for _, r in g.iterrows():
+            assert int(r["start_off"]) == cum
+            cum += int(r["n_tokens"])
+
+    # 4. every surviving doc passes the Gopher filter (stage 2 really
+    # gates stage 7's output)
+    gq = (text.gopher_quality(docs, "text")
+          .select("doc_id", "passes_gopher").toPandas()
+          .set_index("doc_id")["passes_gopher"])
+    assert gq.loc[list(out["doc_id"])].all()
+
+    # 5. no two survivors share a normalized scrubbed-text fingerprint
+    # (stage 4 really deduped what stage 7 emits)
+    from pyspark.sql import functions as F
+    scrubbed = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), text.URL_PATTERN, "<PII>"),
+            text.EMAIL_PATTERN, "<PII>"))
+    fps = (text.fingerprint(scrubbed, "text")
+           .select("doc_id", "fingerprint").toPandas()
+           .set_index("doc_id")["fingerprint"])
+    out_fps = fps.loc[list(out["doc_id"])]
+    assert out_fps.nunique() == len(out_fps)
+
+    # 6. rerun determinism: the membership + offsets are a pure
+    # function of the input (hash sampling, no RNG)
+    again = (corpus_pipeline.curate(docs, bench_mod=50, ctx=512)
+             .toPandas())
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

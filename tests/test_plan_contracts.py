@@ -97,6 +97,13 @@ def _counts(df):
     # rate table must ride a BROADCAST back onto the scan filter — a
     # doc-keyed shuffle means the scan-local sampling shape broke
     ("mixture_sample", 3, 0),
+    # the 7-stage composed pipeline, un-checkpointed: roughly the sum
+    # of its stage budgets (fingerprint window + contamination aggs +
+    # mixture rates + shard packing) with the survivor subtree
+    # re-derived per consumer — a job run checkpoints between stages
+    # (plans/corpus_pipeline.py docstring); still zero Python stages
+    # and zero cartesians end to end
+    ("corpus_curate", 13, 0),
     # quarantine rides the corpus scan: ZERO shuffles; 2 Python stages
     # = the seeded-corpus mapInPandas synthesis + the status kernel
     # (a production read replaces the first with a parquet scan)
