@@ -4196,6 +4196,46 @@ def q_source_mixture(spark, sf_dir):
     return corpus.source_mixture(d, shard_col="source")
 
 
+@register("c4_line_dedup", r"""
+WITH ln AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        regexp_split_to_array(coalesce(text, ''), '\n'),
+        x -> regexp_replace(x, '(^[ \t\x0B\f\r]+)|([ \t\x0B\f\r]+$)',
+                            '', 'g')),
+      x -> x <> '') AS lines
+  FROM documents),
+occ AS (SELECT doc_id, i.i AS idx, lines[i.i] AS line
+        FROM ln, unnest(generate_series(1, len(lines))) AS i(i)),
+freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM occ GROUP BY line),
+j AS (SELECT occ.doc_id, occ.idx, occ.line, f.nd
+      FROM occ JOIN freq f USING (line)),
+rb AS (
+  SELECT doc_id, count(*)::BIGINT AS nl,
+    sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END)::BIGINT AS nr,
+    sum(CASE WHEN nd < 3 THEN length(line) ELSE 0 END)::BIGINT AS kc,
+    md5(coalesce(string_agg(CASE WHEN nd < 3 THEN line END,
+                            chr(10) ORDER BY idx), '')) AS fp
+  FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(rb.nl, 0)::BIGINT AS n_lines,
+  coalesce(rb.nr, 0)::BIGINT AS n_lines_removed,
+  coalesce(rb.kc, 0)::BIGINT AS kept_chars,
+  coalesce(rb.fp, md5('')) AS cleaned_fingerprint
+FROM documents d LEFT JOIN rb USING (doc_id)
+""")
+def q_c4_line_dedup(spark, sf_dir):
+    """C4-style cross-corpus duplicate-line removal (scale addition):
+    lines in >= 3 distinct docs are boilerplate and deleted; the
+    cleaned doc (kept lines, original order) is emitted as an md5
+    fingerprint so the rewrite is byte-certified without shipping
+    text. Within-doc repeats are NOT removed (distinct-doc frequency)
+    (operators/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.c4_line_dedup(d, "text", "doc_id", min_docs=3)
+
+
 @register("corpus_curate", rf"""
 WITH cand AS (
   SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 0),
@@ -4387,6 +4427,7 @@ QUERY_ORDER: list[str] = [
     "line_repetition", "top_ngram_stats",
     "pack_efficiency", "source_mixture", "paragraph_dedup",
     "dsir_importance", "domain_mix", "mixture_sample", "corpus_curate",
+    "c4_line_dedup",
 ]
 
 

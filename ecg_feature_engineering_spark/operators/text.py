@@ -500,3 +500,66 @@ def domain_mix(df: DataFrame, text_col: str = "text",
             .select("domain", "n_docs", "n_urls",
                     (F.col("n_urls").cast("double")
                      / F.col("__tot").cast("double")).alias("url_share")))
+
+
+def c4_line_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_docs: int = 3) -> DataFrame:
+    """C4-style cross-corpus duplicate-line REMOVAL (Raffel et al. 2020
+    §2.2 public rule, line granularity): delete every line that occurs
+    in >= ``min_docs`` distinct documents (boilerplate — cookie
+    banners, nav text), and emit the cleaned document's fingerprint
+    plus the removal ledger. Completes the dedup ladder: within-doc
+    line stats (`line_repetition_stats`) -> cross-doc paragraph stats
+    (`paragraph_dup_stats`) -> cross-doc line REMOVAL (this op, the one
+    that rewrites the text).
+
+    Lines are \\n-segments btrimmed of remaining ASCII whitespace
+    (CRLF/space-padded twins match), empties dropped; the cleaned text
+    is the kept lines re-joined with \\n in ORIGINAL order, emitted as
+    an md5 fingerprint (cross-engine checkable without shipping text;
+    a doc with nothing kept fingerprints the empty string).
+
+    100 TB shape: occurrences carry (doc, idx, md5-fp) — fixed-width
+    keys through the frequency join, never the line text... except the
+    kept line text itself, which must survive to reconstruction; the
+    frequency table is thin (fp, n_docs_with) and broadcast-eligible.
+    One fp count-distinct agg, one equi-join, one doc-keyed rebuild
+    agg. Hot boilerplate lines are agg GROUPS, never a pair space.
+    Exactness: counts exact ints; reconstruction order is the exact
+    integer line index."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.transform(F.split(t, "\n"),
+                        lambda x: F.btrim(x, F.lit(_LINE_TRIM_CHARS))),
+            lambda x: x != "").alias("__lines"))
+    occ = (base.select(
+        "doc_id", F.posexplode_outer("__lines").alias("idx", "line"))
+        .where(F.col("line").isNotNull())
+        .withColumn("__fp", F.md5("line")))
+    freq = occ.groupBy("__fp").agg(
+        F.countDistinct("doc_id").alias("__n_docs_with"))
+    j = occ.join(freq, "__fp")
+    keep = F.col("__n_docs_with") < min_docs
+    rebuilt = (j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__nl"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("__nr"),
+        F.sum(F.when(keep, F.length("line")).otherwise(0)).alias("__kc"),
+        F.array_sort(F.collect_list(
+            F.when(keep, F.struct("idx", "line")))).alias("__kept")))
+    cleaned = F.array_join(
+        F.transform(F.col("__kept"), lambda s: s["line"]), "\n")
+    nl, nr = F.col("__nl"), F.col("__nr")
+    return (df.select(F.col(id_col).alias("doc_id"))
+            .join(rebuilt, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(nl, F.lit(0)).cast("long").alias("n_lines"),
+                F.coalesce(nr, F.lit(0)).cast("long")
+                .alias("n_lines_removed"),
+                F.coalesce(F.col("__kc"), F.lit(0)).cast("long")
+                .alias("kept_chars"),
+                F.md5(F.coalesce(cleaned, F.lit("")))
+                .alias("cleaned_fingerprint")))

@@ -214,6 +214,10 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # Gopher stage identically in both engines before any later
         # stage can see them
         "corpus_curate",
+        # C4 line removal: NULL/blank docs fingerprint the empty
+        # string; no hostile line spans 3 docs (removal structure is
+        # pinned in test_c4_line_dedup_parity's dedicated fixture)
+        "c4_line_dedup",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3
@@ -894,3 +898,61 @@ def test_mixture_sample_parity(spark, duck, mixture_dir):
     for i, r in ms.iterrows():
         assert int(r["keep_micro"]) == keep[r["source"]]
         assert int(r["sample_bucket"]) == bucket(i)
+
+
+@pytest.fixture(scope="module")
+def c4_dir(spark, tmp_path_factory):
+    """Documents engineered for C4 cross-corpus line removal — the
+    driver corpus removes NOTHING (no line spans 3 docs), so sf parity
+    certifies only the all-kept path: a banner line in 3 docs (one a
+    CRLF/space-padded twin — must match after btrim), a line in exactly
+    2 docs (BOUNDARY: kept), a within-doc-thrice line (distinct-doc
+    rule: kept), and NULL/blank docs (empty-string fingerprint)."""
+    root = tmp_path_factory.mktemp("c4")
+    rows = [
+        (0, "a", "BANNER\nunique zero"),
+        (1, "a", "BANNER\nunique one"),
+        (2, "a", " BANNER \r\nunique two"),    # padded + CRLF twin
+        (3, "b", "twice\nunique three"),       # nd=2: kept
+        (4, "b", "twice\nunique four"),
+        (5, "b", "self\nself\nself\nunique five"),  # within-doc only
+        (6, "c", None),
+        (7, "c", "\n \n"),
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_c4_line_dedup_parity(spark, duck, c4_dir):
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                 f"'{c4_dir}/documents.parquet/*.parquet'")
+    _compare(spark, duck, ["c4_line_dedup"], c4_dir)
+    # parity could be 'wrong together' — pin the rewrite byte-for-byte
+    # via independently recomputed md5s.
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    c4 = (contract.QUERY_BUILDERS["c4_line_dedup"](spark, c4_dir)
+          .toPandas().set_index("doc_id"))
+
+    def row(i):
+        r = c4.loc[i]
+        return (int(r["n_lines"]), int(r["n_lines_removed"]),
+                int(r["kept_chars"]), r["cleaned_fingerprint"])
+
+    # BANNER spans 3 docs (via the btrim'd CRLF twin) -> removed
+    assert row(0) == (2, 1, 11, h("unique zero"))
+    assert row(2) == (2, 1, 10, h("unique two"))
+    # exactly-2-doc line sits UNDER the threshold -> kept
+    assert row(3) == (2, 0, 17, h("twice\nunique three"))
+    # within-doc-thrice counts ONE distinct doc -> kept, order intact
+    assert row(5) == (4, 0, 23, h("self\nself\nself\nunique five"))
+    for i in (6, 7):                   # NULL/blank -> empty rewrite
+        assert row(i) == (0, 0, 0, h(""))

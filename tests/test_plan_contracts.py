@@ -104,6 +104,9 @@ def _counts(df):
     # (plans/corpus_pipeline.py docstring); still zero Python stages
     # and zero cartesians end to end
     ("corpus_curate", 13, 0),
+    # line-frequency agg + occurrence join + doc-keyed rebuild agg;
+    # the thin (fp, n_docs) table stays broadcast/equi
+    ("c4_line_dedup", 3, 0),
     # quarantine rides the corpus scan: ZERO shuffles; 2 Python stages
     # = the seeded-corpus mapInPandas synthesis + the status kernel
     # (a production read replaces the first with a parquet scan)
