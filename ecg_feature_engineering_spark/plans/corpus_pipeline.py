@@ -39,12 +39,17 @@ from pyspark.sql import functions as F
 from ecg_feature_engineering_spark.operators import corpus, dedup, text
 
 
-def curate(docs: DataFrame, bench_mod: int = 50, ctx: int = 512,
-           text_col: str = "text", doc_id: str = "doc_id",
-           shard_col: str = "source") -> DataFrame:
-    """Run the full curation sequence; returns the packed token-stream
-    table (doc_id, shard, n_tokens, start_off, chunk_first, chunk_last,
-    n_chunks) of the surviving documents."""
+def survivors(docs: DataFrame, bench_mod: int = 50,
+              text_col: str = "text", doc_id: str = "doc_id",
+              shard_col: str = "source") -> DataFrame:
+    """Stages 1-5 (the expensive half): benchmark holdout, Gopher
+    filter, PII scrub, exact dedup, decontamination. Returns the clean
+    survivor table (doc_id, shard_col, scrubbed text) — the natural
+    CHECKPOINT boundary: everything above is re-derived per consumer in
+    a single lazy plan (contract `corpus_curate` pins 13 exchanges
+    un-checkpointed), so a production run materializes this once
+    (jobs/corpus_job.py) and the downstream mixture/packing read it
+    back."""
     did = F.col(doc_id)
     bench = docs.where(F.pmod(did, F.lit(bench_mod)) == 0)
     cand = docs.where(F.pmod(did, F.lit(bench_mod)) != 0)
@@ -65,12 +70,29 @@ def curate(docs: DataFrame, bench_mod: int = 50, ctx: int = 512,
 
     cont = corpus.benchmark_contamination(deduped, bench, text_col,
                                           doc_id, n=3, threshold_pct=80)
-    clean = deduped.join(
+    return deduped.join(
         cont.where(~F.col("contaminated")).select("doc_id"),
         "doc_id", "left_semi")
 
+
+def pack_survivors(clean: DataFrame, ctx: int = 512,
+                   text_col: str = "text", doc_id: str = "doc_id",
+                   shard_col: str = "source") -> DataFrame:
+    """Stages 6-7: temperature downsample (rates on the survivor token
+    mass) + token-stream packing."""
     sampled = corpus.sample_to_mixture(clean, text_col, doc_id,
                                        shard_col)
     return corpus.pack_token_stream(
         sampled.select(doc_id, shard_col, text_col),
+        ctx=ctx, text_col=text_col, doc_id=doc_id, shard_col=shard_col)
+
+
+def curate(docs: DataFrame, bench_mod: int = 50, ctx: int = 512,
+           text_col: str = "text", doc_id: str = "doc_id",
+           shard_col: str = "source") -> DataFrame:
+    """Run the full curation sequence as one lazy plan; returns the
+    packed token-stream table (doc_id, shard, n_tokens, start_off,
+    chunk_first, chunk_last, n_chunks) of the surviving documents."""
+    return pack_survivors(
+        survivors(docs, bench_mod, text_col, doc_id, shard_col),
         ctx=ctx, text_col=text_col, doc_id=doc_id, shard_col=shard_col)

@@ -67,3 +67,45 @@ def test_curate_invariants(spark):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_corpus_job_resume_e2e(spark, tmp_path):
+    """The spark-submit surface end to end from a FOREIGN cwd
+    (zip-shipped imports): corpus_job runs the two checkpointed stages,
+    and a rerun under a DIFFERENT --output serves both stages from the
+    checkpoint (identical outputs, no recompute of the survivor set)."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/jobs/corpus_job.py",
+         "--documents", f"{SF_DIR}/documents.parquet",
+         "--output", str(out), "--checkpoint-root", str(ckpt)],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert {"survivors", "packed"} <= {s["stage"] for s in summary["stages"]}
+    assert 0 < summary["output_rows"] <= summary["survivor_rows"]
+    assert summary["survivor_rows"] < summary["input_rows"]
+
+    # the job's output equals the library plan run in-process (the
+    # checkpointed two-stage split is semantics-preserving)
+    lib = corpus_pipeline.curate(_docs(spark)).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    job = spark.read.parquet(str(out)).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        job[lib.columns.tolist()], lib)
+
+    r2 = subprocess.run(
+        [sys.executable, "/root/repo/jobs/corpus_job.py",
+         "--documents", f"{SF_DIR}/documents.parquet",
+         "--output", str(tmp_path / "out2"), "--checkpoint-root", str(ckpt)],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["output_rows"] == summary["output_rows"]
+    assert s2["survivor_rows"] == summary["survivor_rows"]
