@@ -98,3 +98,97 @@ def test_text_ops_match_python_on_arbitrary_strings(spark, batch):
         assert d.loc[i, "n_grams"] == ng, (i, t)
         assert np.isclose(d.loc[i, "dup_ngram_char_frac"], frac), (i, t)
         assert tc.loc[i, "n_tokens_ws"] == len(_words(t)), (i, t)
+
+
+_LINE_TRIM = " \t\x0b\x0c\r"
+_PARA_TRIM = " \t\n\x0b\x0c\r"
+_PARA_RE = re.compile(r"\n[ \t\x0B\f\r]*\n")
+
+
+def _py_lines(t):
+    t = t or ""
+    return [x for x in (s.strip(_LINE_TRIM) for s in t.split("\n")) if x]
+
+
+def _py_line_rep(t):
+    ls = _py_lines(t)
+    n, uniq = len(ls), list(dict.fromkeys(ls))
+    nu = len(uniq)
+    lc, lcu = sum(map(len, ls)), sum(map(len, uniq))
+    return (n, nu, n - nu, (n - nu) / n if n else 0.0,
+            lc, lc - lcu, (lc - lcu) / lc if lc else 0.0)
+
+
+def _py_paras(t):
+    t = t or ""
+    return [x for x in (s.strip(_PARA_TRIM) for s in _PARA_RE.split(t))
+            if x]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batch=st.lists(texts, min_size=1, max_size=16))
+def test_repetition_dedup_ops_match_python(spark, batch):
+    """line_repetition / top_ngram / paragraph_dedup / c4_line_dedup vs
+    independent pure-Python twins of their pinned contracts, including
+    the CROSS-DOC frequency semantics (paragraph/c4) computed over the
+    whole generated batch."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string")
+    lr = text.line_repetition_stats(df).toPandas().set_index("doc_id")
+    c4 = text.c4_line_dedup(df, min_docs=3).toPandas().set_index("doc_id")
+    from ecg_feature_engineering_spark.operators import corpus, dedup
+    tg = (corpus.top_ngram_char_fraction(df)
+          .toPandas().set_index(["doc_id", "n"]).sort_index())
+    pg = dedup.paragraph_dup_stats(df).toPandas().set_index("doc_id")
+
+    # cross-doc frequency maps over the whole batch
+    line_docs, para_docs = {}, {}
+    for i, t in enumerate(batch):
+        for ln in set(_py_lines(t)):
+            line_docs.setdefault(ln, set()).add(i)
+        for p in set(_py_paras(t)):
+            para_docs.setdefault(p, set()).add(i)
+
+    for i, t in enumerate(batch):
+        n, nu, nd, dlf, lc, dlc, dlcf = _py_line_rep(t)
+        r = lr.loc[i]
+        assert (r["n_lines"], r["n_uniq_lines"], r["n_dup_lines"],
+                r["line_chars"], r["dup_line_chars"]) == (n, nu, nd, lc,
+                                                          dlc), (i, t)
+        assert r["dup_line_frac"] == dlf and \
+            r["dup_line_char_frac"] == dlcf, (i, t)
+
+        lines = _py_lines(t)
+        kept = [x for x in lines if len(line_docs[x]) < 3]
+        rc = c4.loc[i]
+        assert (rc["n_lines"], rc["n_lines_removed"],
+                rc["kept_chars"]) == (len(lines), len(lines) - len(kept),
+                                      sum(map(len, kept))), (i, t)
+        assert rc["cleaned_fingerprint"] == hashlib.md5(
+            "\n".join(kept).encode()).hexdigest(), (i, t)
+
+        paras = _py_paras(t)
+        dup_p = [p for p in paras if len(para_docs[p]) >= 2]
+        rp = pg.loc[i]
+        assert (rp["n_paras"], rp["n_dup_paras"], rp["para_chars"],
+                rp["dup_para_chars"]) == (
+            len(paras), len(dup_p), sum(map(len, paras)),
+            sum(map(len, dup_p))), (i, t)
+
+        ws = _words(t.lower() if t else t)
+        denom = len(" ".join(ws))
+        for nn in (2, 3, 4):
+            if len(ws) < nn:
+                assert (i, nn) not in tg.index, (i, t)
+                continue
+            cnt = Counter(" ".join(ws[j:j + nn])
+                          for j in range(len(ws) - nn + 1))
+            gram, c = sorted(cnt.items(),
+                             key=lambda kv: (-kv[1], kv[0]))[0]
+            rt = tg.loc[(i, nn)]
+            assert rt["top_gram"] == gram and rt["cnt"] == c, (i, t)
+            assert (rt["gram_chars"], rt["denom_chars"]) == (
+                c * len(gram), denom), (i, t)
+            assert rt["char_frac"] == c * len(gram) / denom, (i, t)
