@@ -4196,6 +4196,32 @@ def q_source_mixture(spark, sf_dir):
     return corpus.source_mixture(d, shard_col="source")
 
 
+@register("semdedup", """
+SELECT (SELECT count(*) + 8 FROM embeddings)::BIGINT AS n_vectors,
+       CAST(8 AS BIGINT) AS n_semdups,
+       CAST(8 AS BIGINT) AS n_planted_flagged
+""")
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023; scale addition) over
+    embeddings + 8 planted positively-scaled copies. Digest invariants:
+    a scaled copy has cosine EXACTLY 1.0 to its original and an
+    identical centroid profile (same cluster bit-for-bit, immune to
+    KMeans float noise), so with keep-lowest-id greedy all 8 planted
+    ids — and ONLY they — must be flagged (random 64-dim vectors sit
+    ~7 sigma below the 0.95 threshold; operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    corpus = _with_planted_copies(emb, q)
+    out = similarity.semdedup(corpus, threshold=0.95, n_lists=8)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("is_semdup").cast("int")).cast("long")
+        .alias("n_semdups"),
+        F.sum((F.col("is_semdup")
+               & (F.col("vec_id") >= 1_000_000)).cast("int")).cast("long")
+        .alias("n_planted_flagged"))
+
+
 @register("c4_line_dedup", r"""
 WITH ln AS (
   SELECT doc_id,
@@ -4427,7 +4453,7 @@ QUERY_ORDER: list[str] = [
     "line_repetition", "top_ngram_stats",
     "pack_efficiency", "source_mixture", "paragraph_dedup",
     "dsir_importance", "domain_mix", "mixture_sample", "corpus_curate",
-    "c4_line_dedup",
+    "c4_line_dedup", "semdedup",
 ]
 
 

@@ -144,6 +144,42 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     )
 
 
+def _kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                      n_lists: int, seed: int,
+                      max_train: int) -> np.ndarray:
+    """Row-normalized KMeans coarse-quantizer centroids trained on a
+    bounded DETERMINISTIC sample: a bare limit() takes whichever
+    partitions answer first, so centroids (and every downstream
+    assignment) would differ between runs; TakeOrderedAndProject on the
+    id is O(n log max_train) with no full sort."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = (corpus.orderBy(id_col).limit(max_train)
+             .select(array_to_vector(F.col(vec_col)).alias("features")))
+    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centroids = np.stack([np.asarray(c) for c in km.clusterCenters()])
+    return centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+
+def _nearest_lists(vec_col: str, cnorm: np.ndarray, n: int):
+    """Column: array of the n nearest list ids by centroid cosine."""
+    n_lists = len(cnorm)
+    sims = F.array(*[
+        _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
+        for c in cnorm
+    ])
+    idx = F.array(*[
+        F.struct(F.element_at(sims, i + 1).alias("s"),
+                 F.lit(i).alias("list_id"))
+        for i in range(n_lists)
+    ])
+    top = F.slice(F.reverse(F.array_sort(idx)), 1, n)
+    return F.transform(top, lambda t: t["list_id"])
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_lists: int = 16, n_probe: int = 3,
@@ -158,34 +194,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     are |corpus|*n_probe/n_lists instead of |corpus|. The quantizer trains
     on a bounded sample (``max_train``) so training never scans 10^12 rows.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # deterministic bounded sample: a bare limit() takes whichever
-    # partitions answer first, so centroids (and hence the ANN results)
-    # would differ between runs; TakeOrderedAndProject on the id is
-    # O(n log max_train) with no full sort
-    train = (corpus.orderBy(id_col).limit(max_train)
-             .select(array_to_vector(F.col(vec_col)).alias("features")))
-    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centroids = np.stack([np.asarray(c) for c in km.clusterCenters()])
-    cnorm = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    cnorm = _kmeans_centroids(corpus, id_col, vec_col, n_lists, seed,
+                              max_train)
 
     def nearest_lists(n: int):
-        """Column: array of the n nearest list ids by centroid cosine."""
-        sims = F.array(*[
-            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            / F.greatest(_norm(F.col(vec_col)), F.lit(1e-12))
-            for c in cnorm
-        ])
-        idx = F.array(*[
-            F.struct(F.element_at(sims, i + 1).alias("s"),
-                     F.lit(i).alias("list_id"))
-            for i in range(n_lists)
-        ])
-        top = F.slice(F.reverse(F.array_sort(idx)), 1, n)
-        return F.transform(top, lambda t: t["list_id"])
+        return _nearest_lists(vec_col, cnorm, n)
 
     listed = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
@@ -230,3 +243,50 @@ def cosine_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def semdedup(df: DataFrame, threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_lists: int = 16, seed: int = 7,
+             max_train: int = 20_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, the published semantic-dedup
+    recipe): k-means cluster the embedding space, then within each
+    cluster flag every item whose cosine to a LOWER-id cluster member
+    is >= ``threshold`` — the greedy keep-lowest-id pass, cluster-local
+    so the pair space is sum over clusters of |c|^2 instead of N^2 (the
+    paper's whole point; at corpus scale ``n_lists`` ~ sqrt(N) bounds
+    |c|). Returns every input row with (cluster_id, is_semdup).
+
+    Scale shape: centroids are tiny and driver-held (bounded
+    deterministic training sample, the ivf_topk quantizer); assignment
+    is one scan pass; the within-cluster self-join is an equi-join on
+    cluster_id; the dup-id set is a thin semi-joinable table. A
+    pathological all-in-one-cluster corpus degrades to the quadratic
+    pair space — that is SemDeDup's published behavior, not a plan
+    accident (pick n_lists for the data).
+
+    Determinism: the flag compares the TRUE float cosine to the
+    threshold (borderline pairs are centroid-perturbation-sensitive
+    ONLY through cluster membership; a planted exact/scaled copy shares
+    its original's centroid profile bit-for-bit, so copy-vs-original
+    pairs are immune — the certifiable invariant)."""
+    cnorm = _kmeans_centroids(df, id_col, vec_col, n_lists, seed,
+                              max_train)
+    listed = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"),
+        F.element_at(_nearest_lists(vec_col, cnorm, 1), 1)
+        .alias("cluster_id"))
+    a = listed.select(F.col("vec_id").alias("__ida"),
+                      F.col("__v").alias("__va"), "cluster_id")
+    b = listed.select(F.col("vec_id").alias("__idb"),
+                      F.col("__v").alias("__vb"), "cluster_id")
+    dups = (a.join(b, "cluster_id")
+            .where(F.col("__ida") < F.col("__idb"))
+            .where(cosine(F.col("__va"), F.col("__vb"))
+                   >= F.lit(threshold))
+            .select(F.col("__idb").alias("vec_id")).distinct())
+    return (listed.join(dups.withColumn("__dup", F.lit(True)),
+                        "vec_id", "left")
+            .select("vec_id", "cluster_id",
+                    F.coalesce(F.col("__dup"), F.lit(False))
+                    .alias("is_semdup")))

@@ -149,3 +149,26 @@ def test_ivf_topk_recall(spark, sf_dir):
     merged = approx.merge(exact, on=["query_id", "neighbor_id"],
                           suffixes=("_a", "_e"))
     np.testing.assert_allclose(merged["cos_a"], merged["cos_e"], atol=1e-6)
+
+
+def test_semdedup_planted_structure(spark, sf_dir):
+    """SemDeDup on embeddings + planted scaled copies: each copy shares
+    its original's cluster (identical centroid profile — immune to
+    KMeans float noise), is flagged as the HIGHER id of its pair, and
+    nothing else is flagged at 0.95 on isotropic 64-dim vectors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    planted = q.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25))
+        .cast(emb.schema["embedding"].dataType.simpleString())
+        .alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    out = similarity.semdedup(corpus, threshold=0.95, n_lists=8) \
+        .toPandas().set_index("vec_id")
+    assert len(out) == emb.count() + 8
+    flagged = set(out.index[out["is_semdup"]])
+    assert flagged == {1_000_000 + i for i in range(8)}
+    for i in range(8):   # copy and original in the SAME cluster
+        assert out.loc[i, "cluster_id"] == \
+            out.loc[1_000_000 + i, "cluster_id"]

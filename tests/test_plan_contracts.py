@@ -107,6 +107,12 @@ def _counts(df):
     # line-frequency agg + occurrence join + doc-keyed rebuild agg;
     # the thin (fp, n_docs) table stays broadcast/equi
     ("c4_line_dedup", 3, 0),
+    # SemDeDup: cluster-local self-join on cluster_id + dup-id semi
+    # table + the 1-row digest agg; assignment is scan-local (centroid
+    # sims are literal fold expressions) and the pair space must stay
+    # an equi-join — a cartesian = the N^2 regression the clustering
+    # exists to avoid
+    ("semdedup", 3, 0),
     # quarantine rides the corpus scan: ZERO shuffles; 2 Python stages
     # = the seeded-corpus mapInPandas synthesis + the status kernel
     # (a production read replaces the first with a parquet scan)
