@@ -192,3 +192,91 @@ def test_repetition_dedup_ops_match_python(spark, batch):
             assert (rt["gram_chars"], rt["denom_chars"]) == (
                 c * len(gram), denom), (i, t)
             assert rt["char_frac"] == c * len(gram) / denom, (i, t)
+
+
+def _py_norm_tokens(t):
+    """The contamination/fingerprint normalization: lower, collapse the
+    pinned ws class to single spaces, trim, split on ' ' — yields ['']
+    for empty/blank text (the degenerate shingle both engines emit)."""
+    norm = re.sub(r"[ \t\n\x0B\f\r]+", " ", t.lower()).strip()
+    return norm.split(" ")
+
+
+def _py_shingles(t):
+    ws = _py_norm_tokens(t)
+    return {" ".join(ws[i:i + 3]) for i in range(max(len(ws) - 2, 1))}
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batch=st.lists(texts, min_size=2, max_size=16))
+def test_packing_contamination_match_python(spark, batch):
+    """pack_token_stream / pack_efficiency / benchmark_contamination vs
+    pure-Python twins on arbitrary hostile corpora: the shard cumsum +
+    chunk clamp arithmetic, the ceil/padding ledger, and the short-doc
+    shingle fallback + 80% integer-tie rule."""
+    from ecg_feature_engineering_spark.operators import corpus
+
+    rows = [(i, f"s{i % 3}", t) for i, t in enumerate(batch)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    pk = (corpus.pack_token_stream(df, ctx=512).toPandas()
+          .set_index("doc_id"))
+    pe = (corpus.pack_efficiency(df, ctx=512).toPandas()
+          .set_index("shard"))
+
+    # python twin: per-shard doc_id-ordered cumsum + chunk clamp
+    shards = {}
+    for i, src, t in rows:
+        n = len(_words(t.lower() if t else t))
+        shards.setdefault(src, []).append((i, n))
+    exp_eff = {}
+    for src, docs in shards.items():
+        cum, straddlers, total, mx = 0, 0, 0, 0
+        for i, n in sorted(docs):
+            start = cum
+            cum += n
+            first = start // 512
+            last = max((cum - 1) // 512, first)
+            r = pk.loc[i]
+            assert (r["shard"], r["n_tokens"], r["start_off"],
+                    r["chunk_first"], r["chunk_last"], r["n_chunks"]) \
+                == (src, n, start, first, last, last - first + 1), (i, t)
+            straddlers += int(last > first)
+            total += n
+            mx = max(mx, n)
+        n_chunks = (total + 511) // 512
+        exp_eff[src] = (len(docs), total, mx, straddlers, n_chunks,
+                        n_chunks * 512 - total)
+    for src, (nd, tot, mx, strad, nch, pad) in exp_eff.items():
+        r = pe.loc[src]
+        assert (r["n_docs"], r["total_tokens"], r["max_doc_tokens"],
+                r["n_straddlers"], r["n_chunks"], r["pad_tokens"]) \
+            == (nd, tot, mx, strad, nch, pad), src
+        if tot:
+            assert r["fill_frac"] == tot / (nch * 512), src
+
+    # contamination: doc 0 is the benchmark split (doc_id % 50 == 0 and
+    # batch size <= 16), the rest are candidates
+    cand = df.where("doc_id % 50 <> 0")
+    bench = df.where("doc_id % 50 = 0")
+    cm = (corpus.benchmark_contamination(cand, bench).toPandas()
+          .set_index("doc_id"))
+    bench_grams = set().union(*[
+        _py_shingles(t) for i, _, t in rows
+        if i % 50 == 0 and t is not None]) if any(
+        t is not None for i, _, t in rows if i % 50 == 0) else set()
+    for i, _, t in rows:
+        if i % 50 == 0:
+            assert i not in cm.index
+            continue
+        r = cm.loc[i]
+        if t is None:
+            assert r["n_grams"] == 0 and not bool(r["contaminated"])
+            continue
+        sh = _py_shingles(t)
+        hits = len(sh & bench_grams)
+        assert (r["n_grams"], r["n_contam"]) == (len(sh), hits), (i, t)
+        assert bool(r["contaminated"]) == (
+            len(sh) > 0 and hits * 100 >= len(sh) * 80), (i, t)
