@@ -4196,6 +4196,35 @@ def q_source_mixture(spark, sf_dir):
     return corpus.source_mixture(d, shard_col="source")
 
 
+@register("chunk_overlap_spans", r"""
+WITH d AS (
+  SELECT doc_id,
+    coalesce(len(list_filter(regexp_split_to_array(lower(text),
+                                                   '[ \t\n\x0B\f\r]+'),
+                             x -> x <> '')), 0)::BIGINT AS n
+  FROM documents),
+k AS (
+  SELECT doc_id, n,
+    CASE WHEN n <= 64 THEN 0
+    ELSE (n - 64 + 32 - 1) // 32 END::BIGINT AS k_max
+  FROM d WHERE n > 0)
+SELECT doc_id, i.i AS chunk_idx, n AS n_tokens,
+  (i.i * 32)::BIGINT AS tok_start,
+  least(i.i * 32 + 64, n)::BIGINT AS tok_end,
+  (least(i.i * 32 + 64, n) - i.i * 32)::BIGINT AS n_chunk_tokens
+FROM k, unnest(generate_series(0, k_max)) AS i(i)
+""")
+def q_chunk_overlap_spans(spark, sf_dir):
+    """Per-document overlapping context windows, ctx=64 / stride=32
+    (sized so the driver corpus's ~150-token docs produce REAL
+    multi-chunk output — ctx=512 would certify only the single-chunk
+    path): chunk k covers [k*32, min(k*32+64, n)); the tail chunk may
+    be short, zero-token docs emit nothing. All exact integers
+    (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.chunk_overlap_spans(d, ctx=64, stride=32)
+
+
 @register("semdedup", """
 SELECT (SELECT count(*) + 8 FROM embeddings)::BIGINT AS n_vectors,
        CAST(8 AS BIGINT) AS n_semdups,
@@ -4453,7 +4482,7 @@ QUERY_ORDER: list[str] = [
     "line_repetition", "top_ngram_stats",
     "pack_efficiency", "source_mixture", "paragraph_dedup",
     "dsir_importance", "domain_mix", "mixture_sample", "corpus_curate",
-    "c4_line_dedup", "semdedup",
+    "c4_line_dedup", "semdedup", "chunk_overlap_spans",
 ]
 
 

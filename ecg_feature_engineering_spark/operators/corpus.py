@@ -567,3 +567,40 @@ def sample_to_mixture(df: DataFrame, text_col: str = "text",
             .withColumn("sample_bucket", bucket)
             .where(F.col("sample_bucket") < F.col("keep_micro"))
             .drop("__src"))
+
+
+def chunk_overlap_spans(df: DataFrame, ctx: int = 512, stride: int = 256,
+                        text_col: str = "text",
+                        doc_id: str = "doc_id") -> DataFrame:
+    """Per-document OVERLAPPING context windows (the eval/RAG chunking
+    convention, complementing :func:`pack_token_stream`'s gapless
+    cross-doc stream): chunk k covers tokens [k*stride, min(k*stride +
+    ctx, n)); chunks advance while the previous window hasn't reached
+    the end, so n_chunks = 1 for n <= ctx else ceil((n-ctx)/stride)+1.
+    Zero-token docs emit no chunk.
+
+    Scale shape: the row-expanding U10 pattern — a bounded integer
+    sequence bound to a column then explode_outer'd (both CLAUDE.md
+    explode traps dodged); scan-local, zero shuffles, expansion factor
+    ~n/stride per doc. All outputs exact integers."""
+    if stride <= 0 or ctx <= 0 or stride > ctx:
+        raise ValueError("need 0 < stride <= ctx")
+    n = F.coalesce(token_count(F.lower(F.col(text_col))), F.lit(0))
+    d = df.select(F.col(doc_id).alias("doc_id"),
+                  n.cast("long").alias("__n"))
+    k_max = F.when(
+        F.col("__n") <= ctx, F.lit(0)
+    ).otherwise(F.expr(f"(__n - {ctx} + {stride} - 1) div {stride}"))
+    d = (d.where(F.col("__n") > 0)
+         .withColumn("__ks", F.sequence(F.lit(0), k_max.cast("long"))))
+    out = (d.select("doc_id", "__n",
+                    F.explode_outer("__ks").alias("chunk_idx"))
+           .where(F.col("chunk_idx").isNotNull()))
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + ctx, F.col("__n"))
+    return out.select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("__n").alias("n_tokens"),
+        start.cast("long").alias("tok_start"),
+        end.cast("long").alias("tok_end"),
+        (end - start).cast("long").alias("n_chunk_tokens"))

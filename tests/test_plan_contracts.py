@@ -113,6 +113,9 @@ def _counts(df):
     # an equi-join — a cartesian = the N^2 regression the clustering
     # exists to avoid
     ("semdedup", 3, 0),
+    # per-doc overlap chunking rides the scan (the U10 row-expanding
+    # shape, bounded sequence explode)
+    ("chunk_overlap_spans", 0, 0),
     # quarantine rides the corpus scan: ZERO shuffles; 2 Python stages
     # = the seeded-corpus mapInPandas synthesis + the status kernel
     # (a production read replaces the first with a parquet scan)

@@ -226,6 +226,22 @@ def test_packing_contamination_match_python(spark, batch):
     pe = (corpus.pack_efficiency(df, ctx=512).toPandas()
           .set_index("shard"))
 
+    # overlap chunking twin (ctx=8/stride=4 so tiny fuzz docs still
+    # produce multi-chunk output): chunk k = [4k, min(4k+8, n))
+    ov = (corpus.chunk_overlap_spans(df, ctx=8, stride=4).toPandas()
+          .set_index(["doc_id", "chunk_idx"]).sort_index())
+    for i, _, t in rows:
+        n = len(_words(t.lower() if t else t))
+        if n == 0:
+            assert i not in ov.index.get_level_values("doc_id"), (i, t)
+            continue
+        k_max = 0 if n <= 8 else -((-(n - 8)) // 4)
+        assert set(ov.loc[i].index) == set(range(k_max + 1)), (i, t)
+        for k in range(k_max + 1):
+            r = ov.loc[(i, k)]
+            assert (r["tok_start"], r["tok_end"]) == (
+                4 * k, min(4 * k + 8, n)), (i, t)
+
     # python twin: per-shard doc_id-ordered cumsum + chunk clamp
     shards = {}
     for i, src, t in rows:
