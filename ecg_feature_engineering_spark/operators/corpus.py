@@ -1,7 +1,10 @@
-"""Corpus-level term statistics — TF-IDF and BM25 over the documents
-table (scale additions: the retrieval/ranking signals an LLM
-training-data pipeline computes corpus-wide, next to the scan-local
-quality filters in ``operators/text.py``).
+"""Corpus-level training-data operators over the documents table
+(scale additions — the corpus-wide half of an LLM data pipeline, next
+to the scan-local quality filters in ``operators/text.py``): TF-IDF /
+BM25 term statistics, benchmark decontamination, GPT-style token-stream
+packing + the packing-efficiency ledger, per-doc overlap chunking,
+top-n-gram repetition, temperature source mixing (report AND applied
+deterministic downsampling), and DSIR hashed-n-gram importance weights.
 
 Reference lineage: the reference computes only per-record features; these
 are the cross-record analog of its per-signal summary statistics
