@@ -251,11 +251,16 @@ def semdedup(df: DataFrame, threshold: float = 0.95,
              max_train: int = 20_000) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, the published semantic-dedup
     recipe): k-means cluster the embedding space, then within each
-    cluster flag every item whose cosine to a LOWER-id cluster member
-    is >= ``threshold`` — the greedy keep-lowest-id pass, cluster-local
-    so the pair space is sum over clusters of |c|^2 instead of N^2 (the
-    paper's whole point; at corpus scale ``n_lists`` ~ sqrt(N) bounds
-    |c|). Returns every input row with (cluster_id, is_semdup).
+    cluster flag every item whose cosine to ANY lower-id cluster member
+    is >= ``threshold`` — the paper's released pseudocode (upper-
+    triangular max-similarity test against all earlier-index members,
+    NOT a sequential pass against only-kept items; on a similarity
+    CHAIN a-b-c where only adjacent pairs cross the threshold, b AND c
+    are both flagged even though b's removal leaves c without a kept
+    near-duplicate — pinned in tests). Cluster-local, so the pair
+    space is sum over clusters of |c|^2 instead of N^2 (the paper's
+    whole point; at corpus scale ``n_lists`` ~ sqrt(N) bounds |c|).
+    Returns every input row with (cluster_id, is_semdup).
 
     Scale shape: centroids are tiny and driver-held (bounded
     deterministic training sample, the ivf_topk quantizer); assignment

@@ -70,9 +70,11 @@ def survivors(docs: DataFrame, bench_mod: int = 50,
 
     cont = corpus.benchmark_contamination(deduped, bench, text_col,
                                           doc_id, n=3, threshold_pct=80)
-    return deduped.join(
-        cont.where(~F.col("contaminated")).select("doc_id"),
-        "doc_id", "left_semi")
+    # contamination output carries the fixed "doc_id" name — alias it
+    # back to the caller's id column for the semi-join
+    clean_ids = (cont.where(~F.col("contaminated"))
+                 .select(F.col("doc_id").alias(doc_id)))
+    return deduped.join(clean_ids, doc_id, "left_semi")
 
 
 def pack_survivors(clean: DataFrame, ctx: int = 512,

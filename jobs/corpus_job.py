@@ -54,28 +54,45 @@ def main() -> None:
     from ecg_feature_engineering_spark import contract as _c
     _c.ensure_workers_can_import(spark)
 
-    data_params = {k: v for k, v in vars(args).items()
-                   if k in ("documents", "bench_mod", "ctx")}
-    cp = StageCheckpointer(spark, args.checkpoint_root, params=data_params)
+    # per-stage param hashes: --ctx affects ONLY the packed stage, so a
+    # repack at a different context length must not invalidate (and
+    # recompute) the expensive survivors half
+    cp_surv = StageCheckpointer(
+        spark, args.checkpoint_root,
+        params={"documents": args.documents, "bench_mod": args.bench_mod})
+    cp_pack = StageCheckpointer(
+        spark, args.checkpoint_root,
+        params={"documents": args.documents, "bench_mod": args.bench_mod,
+                "ctx": args.ctx})
 
-    clean = cp.run(
+    clean = cp_surv.run(
         "survivors",
         lambda: corpus_pipeline.survivors(
             spark.read.parquet(args.documents), bench_mod=args.bench_mod))
-    packed = cp.run(
+    packed = cp_pack.run(
         "packed",
         lambda: corpus_pipeline.pack_survivors(clean, ctx=args.ctx))
     packed.write.mode("overwrite").parquet(args.output)
 
-    metrics = cp.metrics()
+    # each checkpointer reports only its own params_hash's stages —
+    # union the two (dedup by stage name, survivors' hash wins)
+    seen = set()
+    metrics = []
+    for m in cp_surv.metrics() + cp_pack.metrics():
+        if m["stage"] not in seen:
+            seen.add(m["stage"])
+            metrics.append(m)
     n_in = spark.read.parquet(args.documents).count()
     print(json.dumps({"stages": metrics,
                       "input_rows": n_in,
                       "survivor_rows": clean.count(),
                       "output_rows": packed.count(),
                       "output": args.output}))
-    with open(os.path.join(args.checkpoint_root, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
+    # through the Hadoop FS API, not open(): --checkpoint-root may be a
+    # non-local URI on a real cluster (the StageCheckpointer contract)
+    cp_surv.fs.write_text_atomic(
+        os.path.join(args.checkpoint_root, "metrics.json"),
+        json.dumps(metrics, indent=1))
 
 
 if __name__ == "__main__":

@@ -218,6 +218,9 @@ def test_hostile_whitespace_parity(spark, duck, hostile_docs_dir):
         # string; no hostile line spans 3 docs (removal structure is
         # pinned in test_c4_line_dedup_parity's dedicated fixture)
         "c4_line_dedup",
+        # overlap chunking under NULL/blank/NBSP docs: zero-token docs
+        # emit no chunk, NBSP must not split a token on either engine
+        "chunk_overlap_spans",
     ], hostile_docs_dir)
     # parity alone would pass vacuously if LSH never fired on the planted
     # component — pin the structure: docs 10-12 form ONE cluster of 3

@@ -109,3 +109,24 @@ def test_corpus_job_resume_e2e(spark, tmp_path):
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["output_rows"] == summary["output_rows"]
     assert s2["survivor_rows"] == summary["survivor_rows"]
+
+    # repack at a different --ctx: ctx hashes only into the packed
+    # stage, so the expensive survivors half must be SERVED, not
+    # recomputed (its data files untouched on disk)
+    import os
+
+    def surv_mtimes():
+        d = ckpt / "survivors" / "data"
+        return {p: os.path.getmtime(os.path.join(d, p))
+                for p in os.listdir(d)}
+    before = surv_mtimes()
+    r3 = subprocess.run(
+        [sys.executable, "/root/repo/jobs/corpus_job.py",
+         "--documents", f"{SF_DIR}/documents.parquet",
+         "--output", str(tmp_path / "out3"),
+         "--checkpoint-root", str(ckpt), "--ctx", "256"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    s3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert s3["survivor_rows"] == summary["survivor_rows"]
+    assert surv_mtimes() == before

@@ -172,3 +172,32 @@ def test_semdedup_planted_structure(spark, sf_dir):
     for i in range(8):   # copy and original in the SAME cluster
         assert out.loc[i, "cluster_id"] == \
             out.loc[1_000_000 + i, "cluster_id"]
+
+
+def test_semdedup_chain_semantics(spark):
+    """Pin the published triu-max rule on a similarity CHAIN a-b-c
+    (adjacent cosines above threshold, cos(a,c) below): b AND c are
+    both flagged — the paper's released upper-triangular test against
+    ALL lower-id members, not a sequential kept-only pass (which would
+    keep c). A doc change that silently switched semantics would flip
+    this."""
+    import math
+    # 2-D unit vectors at angles 0, 14, 28 degrees; cos(14deg)=0.970
+    # >= 0.95, cos(28deg)=0.883 < 0.95. Padded to 4 dims.
+    def vec(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r)), 0.0, 0.0]
+    # the chain at 0/14/28 deg + an antipodal filler group so KMeans
+    # (k >= 2 required) separates chain-vs-filler instead of splitting
+    # the chain
+    rows = [(0, vec(0)), (1, vec(14)), (2, vec(28)),
+            (100, vec(175)), (101, vec(185))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = (similarity.semdedup(df, threshold=0.95, n_lists=2,
+                               max_train=5)
+           .toPandas().set_index("vec_id"))
+    assert (out.loc[0, "cluster_id"] == out.loc[1, "cluster_id"]
+            == out.loc[2, "cluster_id"] != out.loc[100, "cluster_id"])
+    assert not out.loc[0, "is_semdup"]
+    assert out.loc[1, "is_semdup"]      # cos to a = 0.970
+    assert out.loc[2, "is_semdup"]      # cos to b = 0.970 (a: 0.883)
