@@ -120,8 +120,11 @@ def main() -> None:
                       "output_rows": features.count(),
                       "quarantined_rows": n_quarantined,
                       "output": args.output}))
-    with open(os.path.join(args.checkpoint_root, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
+    # through the Hadoop FS API, not open(): --checkpoint-root may be a
+    # non-local URI on a real cluster (the StageCheckpointer contract)
+    cp.fs.write_text_atomic(
+        os.path.join(args.checkpoint_root, "metrics.json"),
+        json.dumps(metrics, indent=1))
 
 
 if __name__ == "__main__":
