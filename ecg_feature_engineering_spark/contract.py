@@ -1265,18 +1265,27 @@ def q_cosine_topk(spark, sf_dir):
 def _with_planted_copies(emb: DataFrame, queries: DataFrame,
                          id_offset: int = 1_000_000) -> DataFrame:
     """Corpus = embeddings + a positively-scaled copy of every query
-    vector (id = query_id + offset). Scaling by +1.25 preserves every
+    vector (id = query_id + offset). Scaling by +2.0 preserves every
     coordinate's sign, so the copy lands in the SAME sign-LSH bucket in
     every table (and the same IVF list) as its query — a correct
     bucketed-ANN path MUST return it at rank 1 with cos 1.0, while a
     broken bucketing/probe/re-rank path fails the digest. (Raw recall vs
     exact top-k is ~0.05-0.08 on the testdata's isotropic random vectors —
     honest for sign-LSH on structureless data, but too noisy to certify;
-    the planted-copy invariant is deterministic.)"""
+    the planted-copy invariant is deterministic.)
+
+    The scale factor MUST be a power of two (ADVICE r4): 2.0*x is exact
+    in IEEE float (exponent bump, zero mantissa rounding), so every
+    copy-vs-centroid cosine scales numerator and denominator by exactly
+    2 and the quotient is BIT-IDENTICAL to the original's — the
+    same-cluster invariant semdedup's digest certifies holds exactly,
+    not just almost-surely (1.25*x rounds per coordinate, leaving the
+    copy's centroid profile only ulp-close; a centroid near-tie could
+    then split copy and original across clusters)."""
     vec_t = emb.schema["embedding"].dataType
     planted = queries.select(
         (F.col("vec_id") + F.lit(id_offset)).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.25))
+        F.transform("embedding", lambda x: x * F.lit(2.0))
         .cast(vec_t.simpleString()).alias("embedding"))
     return emb.select("vec_id", "embedding").unionByName(planted)
 
@@ -1327,7 +1336,7 @@ def q_embedding_near_dup(spark, sf_dir):
     vec_t = emb.schema["embedding"].dataType.simpleString()
     planted = emb.where(F.col("vec_id") == 0).select(
         F.lit(-1).cast(id_t).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.25))
+        F.transform("embedding", lambda x: x * F.lit(2.0))
         .cast(vec_t).alias("embedding"))
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
     pairs = similarity.cosine_near_dup_pairs(corpus, dim=64, threshold=0.9)
@@ -3813,18 +3822,16 @@ c AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM d),
 e AS (
-  -- chunk ids by floor(x / 512.0) on DOUBLE, mirroring the engine
-  -- bit-for-bit (512 = 2^9: the division is exact; (cum-1) can be -1
-  -- on a zero-token stream head and floor(-1/512.0) = -1, clamped by
-  -- greatest to chunk_first, NOT integer-trunc semantics)
+  -- chunk ids by pure int64 trunc-division, mirroring the engine
+  -- (Spark `div` and DuckDB `//` both truncate toward zero; the only
+  -- negative operand is (cum-1) = -1 on a zero-token stream head,
+  -- where both give 0 and greatest clamps to chunk_first = 0 anyway.
+  -- ADVICE r4: float floor(x/ctx) is exact only for power-of-two ctx)
   SELECT doc_id, shard, n_tokens,
     (cum - n_tokens)::BIGINT AS start_off,
-    CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
-         AS BIGINT) AS chunk_first,
-    greatest(
-      CAST(floor((cum::DOUBLE - 1.0::DOUBLE) / 512.0::DOUBLE) AS BIGINT),
-      CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
-           AS BIGINT)) AS chunk_last
+    ((cum - n_tokens) // 512)::BIGINT AS chunk_first,
+    greatest(((cum - 1) // 512)::BIGINT,
+             ((cum - n_tokens) // 512)::BIGINT) AS chunk_last
   FROM c)
 SELECT doc_id, shard, n_tokens, start_off, chunk_first, chunk_last,
   (chunk_last - chunk_first + 1)::BIGINT AS n_chunks
@@ -3937,12 +3944,9 @@ c AS (
   FROM d),
 e AS (
   SELECT doc_id, shard, n_tokens,
-    CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
-         AS BIGINT) AS chunk_first,
-    greatest(
-      CAST(floor((cum::DOUBLE - 1.0::DOUBLE) / 512.0::DOUBLE) AS BIGINT),
-      CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
-           AS BIGINT)) AS chunk_last
+    ((cum - n_tokens) // 512)::BIGINT AS chunk_first,
+    greatest(((cum - 1) // 512)::BIGINT,
+             ((cum - n_tokens) // 512)::BIGINT) AS chunk_last
   FROM c),
 a AS (
   SELECT shard, count(*)::BIGINT AS n_docs,
@@ -4388,12 +4392,9 @@ pc AS (
 pe AS (
   SELECT doc_id, shard, n_tokens,
     (cum - n_tokens)::BIGINT AS start_off,
-    CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
-         AS BIGINT) AS chunk_first,
-    greatest(
-      CAST(floor((cum::DOUBLE - 1.0::DOUBLE) / 512.0::DOUBLE) AS BIGINT),
-      CAST(floor((cum::DOUBLE - n_tokens::DOUBLE) / 512.0::DOUBLE)
-           AS BIGINT)) AS chunk_last
+    ((cum - n_tokens) // 512)::BIGINT AS chunk_first,
+    greatest(((cum - 1) // 512)::BIGINT,
+             ((cum - n_tokens) // 512)::BIGINT) AS chunk_last
   FROM pc)
 SELECT doc_id, shard, n_tokens, start_off, chunk_first, chunk_last,
   (chunk_last - chunk_first + 1)::BIGINT AS n_chunks
@@ -4416,73 +4417,72 @@ def q_corpus_curate(spark, sf_dir):
 # =====================================================================
 # The round driver certifies (rows+schema+value-hash vs the DuckDB oracle)
 # exactly the FIRST 50 entries of queries() in iteration order
-# (VERDICT r2, verified against CORRECTNESS_r01/r02/r03). Registration
+# (VERDICT r2, verified against CORRECTNESS_r01..r04). Registration
 # order above is file-layout order; this list is the driver-facing order.
-# r4 window (VERDICT r3 next-round #2 executed):
-#   #1-#2   the FLOOR-grid-hardened FFT pair — fft_features was r3's one
-#           hash-FAIL and fft_band_power shares the (now fixed) fragile
-#           round(raw_sum, 2) contract; both contracts CHANGED this round
-#           and must (re-)certify green,
-#   #3-#9   the late-r3 media batch (dup_clusters + audio x4 + video x2),
-#           never driver-run,
-#   #10-#31 the late-r3 batch-2/3 set (quality filters, sketches, format
-#           roundtrips, skew demo, PIT feature engineering, winnowing,
-#           quarantine, OHLC), never driver-run,
-#   #32-#50 nineteen previously-green sentinels, one per operator family
-#           (relational core, as-of, joins, stats x2, windows, text x2,
-#           dedup x3, ANN x2, multimodal x2, composites x2, splits,
-#           metrics) — regression canaries,
-#   #51+    queries already driver-certified in r1/r2/r3 (COVERAGE.md
+# r5 window (VERDICT r4 next-round #1 executed):
+#   #1-#16  the r4 corpus-curation module — all 16 queries registered
+#           past the frozen r4 window and therefore never driver-run
+#           (TF-IDF/BM25, decontamination, packing + efficiency ledger,
+#           Gopher line/top-n-gram repetition, mixture report + applied
+#           sampler, paragraph dedup, DSIR, domain mix, C4 line removal,
+#           SemDeDup, overlap chunking, and the 7-stage corpus_curate
+#           composition). Certifying these closes the last correctness
+#           debt: r1∪r2∪r3∪r4∪r5 then covers all 126 registered queries.
+#   #17-#50 thirty-four previously-green sentinels — the full r4
+#           sentinel set (19: relational core, as-of, joins, stats x2,
+#           windows, text x2, dedup x3, ANN x2, multimodal x2,
+#           composites x2, splits, metrics) plus 15 widening the family
+#           coverage (FFT, audio, video, PIT/time x2, OHLC, winnowing,
+#           quarantine, quality filters, PII rewrite, skew, sessions,
+#           Gopher n-gram, embeddings, and sample_entropy — the r4
+#           drift watch-list query). Regression canaries.
+#   #51+    queries already driver-certified in r1/r2/r3/r4 (COVERAGE.md
 #           records which round certified each).
 QUERY_ORDER: list[str] = [
-    # -- 1-2: changed contracts (FLOOR-grid FFT hardening) — must certify
-    "fft_features", "fft_band_power",
-    # -- 3-9: late-r3 media batch, never driver-run
-    "dup_clusters",
-    "audio_decode_stats", "audio_spectral", "audio_resample",
-    "audio_transcode_snr", "video_stats", "video_frame_sample",
-    # -- 10-31: late-r3 batch 2/3, never driver-run
-    "gopher_quality", "pii_scrub", "dup_ngram_fraction",
-    "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
-    "orc_roundtrip", "salted_skew_counts", "time_features",
-    "winsorize_events", "ewma_events", "rank_features",
-    "embedding_centroids", "target_encoding_pit", "expanding_zscore",
-    "stratified_sample", "daily_type_rollup_outer", "quantile_buckets",
-    "winnow_fingerprints", "winnow_match_pairs", "decode_quarantine",
-    "ohlc_time_bars",
-    # -- 32-50: previously-green sentinels, one per family
+    # -- 1-16: the r4 corpus module, never driver-run — must certify
+    "tfidf_top_terms", "bm25_scores", "benchmark_contamination",
+    "pack_token_stream", "line_repetition", "top_ngram_stats",
+    "pack_efficiency", "source_mixture", "paragraph_dedup",
+    "dsir_importance", "domain_mix", "mixture_sample", "corpus_curate",
+    "c4_line_dedup", "semdedup", "chunk_overlap_spans",
+    # -- 17-35: the r4 sentinel set, kept verbatim (regression canaries)
     "tpch_pricing_summary", "asof_backward", "anchor_window_aggs",
     "hrv_features", "basic_stats", "sliding_segments", "langid",
     "quality_features", "dedup_exact", "minhash_lsh",
     "simhash_near_dups", "cosine_topk", "lsh_topk",
     "image_decode_stats", "image_psnr_roundtrip", "flagship",
     "wavelet_stats", "hash_split", "auc_scores",
-    # -- 51+: certified in r1/r2/r3
-    "variability", "sessionize", "session_aggs", "crossing_count",
-    "zigzag", "sample_entropy", "sample_entropy_qrs", "variability_full",
-    "qrs_yuxi", "crossing_widths", "anchor_fiducials_kernel",
-    "cdf_density", "rdensity", "per_lead_summary", "nan_scrub",
-    "pivot_one_hot", "smooth_labels", "seeded_shuffle", "balance_classes",
-    "scale_input", "dataset_profile", "minmax_scalar_prepass",
-    "rollup_returns", "distinct_thresholds_desc", "tumbling_time_windows",
+    # -- 36-50: fifteen family-coverage sentinels added r5
+    "fft_features", "audio_decode_stats", "video_stats",
+    "time_features", "ohlc_time_bars", "winnow_match_pairs",
+    "decode_quarantine", "gopher_quality", "pii_scrub",
+    "salted_skew_counts", "target_encoding_pit", "sample_entropy",
+    "sessionize", "dup_ngram_fraction", "embedding_centroids",
+    # -- 51+: certified in r1/r2/r3/r4
+    "fft_band_power", "dup_clusters", "audio_spectral",
+    "audio_resample", "audio_transcode_snr", "video_frame_sample",
+    "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
+    "orc_roundtrip", "winsorize_events", "ewma_events", "rank_features",
+    "expanding_zscore", "stratified_sample", "daily_type_rollup_outer",
+    "quantile_buckets", "winnow_fingerprints", "variability",
+    "session_aggs", "crossing_count", "zigzag", "sample_entropy_qrs",
+    "variability_full", "qrs_yuxi", "crossing_widths",
+    "anchor_fiducials_kernel", "cdf_density", "rdensity",
+    "per_lead_summary", "nan_scrub", "pivot_one_hot", "smooth_labels",
+    "seeded_shuffle", "balance_classes", "scale_input",
+    "dataset_profile", "minmax_scalar_prepass", "rollup_returns",
+    "distinct_thresholds_desc", "tumbling_time_windows",
     "sliding_time_windows", "phash_near_dups", "image_resize",
     "embedding_near_dup", "ivf_topk", "e3_pipeline",
-    "long_features_parity", "spectrogram",
-    "shipping_priority", "asof_forward", "asof_tolerance",
-    "nation_revenue", "top_customers", "rank_orders_per_customer",
-    "semi_join_active_customers", "anti_join_dormant_customers",
-    "recode_lang", "lag_diffs", "long_stats", "coeff_of_variation",
-    "ffill", "rolling_stats", "rolling_median3", "trim_endpoints",
-    "bin_stat", "mad", "autocorr", "word_explode", "token_counts",
-    "exact_dup_groups", "ngram_jaccard", "simhash_fingerprints",
-    "beta_scores", "deep_features", "image_phash_check",
-    # -- added r4 past the frozen window (r5 rotates them in)
-    "tfidf_top_terms", "bm25_scores",
-    "benchmark_contamination", "pack_token_stream",
-    "line_repetition", "top_ngram_stats",
-    "pack_efficiency", "source_mixture", "paragraph_dedup",
-    "dsir_importance", "domain_mix", "mixture_sample", "corpus_curate",
-    "c4_line_dedup", "semdedup", "chunk_overlap_spans",
+    "long_features_parity", "spectrogram", "shipping_priority",
+    "asof_forward", "asof_tolerance", "nation_revenue", "top_customers",
+    "rank_orders_per_customer", "semi_join_active_customers",
+    "anti_join_dormant_customers", "recode_lang", "lag_diffs",
+    "long_stats", "coeff_of_variation", "ffill", "rolling_stats",
+    "rolling_median3", "trim_endpoints", "bin_stat", "mad", "autocorr",
+    "word_explode", "token_counts", "exact_dup_groups", "ngram_jaccard",
+    "simhash_fingerprints", "beta_scores", "deep_features",
+    "image_phash_check",
 ]
 
 

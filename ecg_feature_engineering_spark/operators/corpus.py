@@ -34,7 +34,7 @@ Hash-stability contract (CLAUDE.md float laws):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -219,7 +219,8 @@ def benchmark_contamination(df: DataFrame, benchmark: DataFrame,
 
 def pack_token_stream(df: DataFrame, ctx: int = 512,
                       text_col: str = "text", doc_id: str = "doc_id",
-                      shard_col: str = "source") -> DataFrame:
+                      shard_col: str = "source",
+                      sub_shard: Column | str | None = None) -> DataFrame:
     """GPT-style token-stream packing: concatenate each shard's documents in
     doc_id order into one token stream and cut it into fixed ``ctx``-token
     context windows; report where each doc lands (a doc may straddle
@@ -234,23 +235,71 @@ def pack_token_stream(df: DataFrame, ctx: int = 512,
     All outputs are exact integers (cumulative sums of int token counts):
     start_off (tokens before this doc in its shard stream), chunk_first/
     chunk_last (ctx-window ids the doc touches; zero-token docs pin
-    chunk_last = chunk_first), n_chunks."""
+    chunk_last = chunk_first), n_chunks.
+
+    Chunk ids are PURE int64 arithmetic (`div`, truncating): float
+    ``floor(cum / ctx)`` is exact only for power-of-two ctx — an
+    arbitrary --ctx at large stream offsets can misround across an
+    integer boundary (ADVICE r4). Both operands are non-negative except
+    ``cum - 1 = -1`` on a zero-token stream head, where trunc-div gives
+    0 and ``greatest(…, chunk_first=0)`` clamps identically in Spark
+    and DuckDB (both truncate toward zero: Spark ``div``, DuckDB
+    ``//``).
+
+    ``sub_shard``: optional second-level stream key for skew defense —
+    see :func:`pack_token_stream`'s caller notes. Without it, each
+    shard's cumsum serializes through ONE reducer: fine when shard_col
+    is the file/part key (thousands of bounded streams), a cliff when
+    one shard holds a dominant row share (e.g. ``source =
+    'common_crawl'``). Pass a column expression that is MONOTONE
+    NON-DECREASING in doc_id within each shard (for int64 doc_ids:
+    ``F.col("doc_id") / K`` via ``F.expr("doc_id div K")``; for string
+    doc_ids: a fixed-length prefix). The cumsum then runs per
+    (shard, sub_shard) — bounded partitions — and sub-stream offsets
+    are stitched by adding the exclusive running total of sub-shard
+    token sums (a window over the TINY per-sub-shard aggregate, one
+    row per sub-shard). Offsets compose by addition, so results are
+    bit-identical to the single-stream spelling (oracle-certified on a
+    planted 90%-one-shard corpus in tests/test_adversarial_parity.py).
+    """
+    if ctx <= 0:
+        raise ValueError(f"ctx must be a positive token count, got {ctx}")
     n_tok = F.coalesce(token_count(F.lower(F.col(text_col))), F.lit(0))
     d = df.select(F.col(doc_id).alias("doc_id"),
                   F.col(shard_col).alias("shard"),
                   n_tok.cast("long").alias("n_tokens"))
-    w = (Window.partitionBy("shard").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    d = d.withColumn("__cum", F.sum("n_tokens").over(w))
+    if sub_shard is None:
+        w = (Window.partitionBy("shard").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        d = d.withColumn("__cum", F.sum("n_tokens").over(w))
+    else:
+        sub = sub_shard if isinstance(sub_shard, Column) else F.col(sub_shard)
+        d = d.withColumn("__sub", sub)
+        wl = (Window.partitionBy("shard", "__sub").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        d = d.withColumn("__loc", F.sum("n_tokens").over(wl))
+        # per-sub-shard totals: one row per (shard, sub) — tiny table;
+        # exclusive prefix over it is a window over sub-shard COUNT rows,
+        # not corpus rows, so the single-partition-per-shard stage holds
+        # O(#subshards) data regardless of corpus size.
+        tots = d.groupBy("shard", "__sub").agg(
+            F.sum("n_tokens").alias("__sub_tot"))
+        wo = (Window.partitionBy("shard").orderBy("__sub")
+              .rowsBetween(Window.unboundedPreceding, -1))
+        offs = tots.select(
+            "shard", "__sub",
+            F.coalesce(F.sum("__sub_tot").over(wo), F.lit(0))
+            .alias("__off"))
+        d = (d.join(F.broadcast(offs), ["shard", "__sub"])
+             .withColumn("__cum", F.col("__loc") + F.col("__off")))
     start = F.col("__cum") - F.col("n_tokens")
-    first = F.floor(start / F.lit(float(ctx))).cast("long")
-    last = F.greatest(
-        F.floor((F.col("__cum") - 1) / F.lit(float(ctx))).cast("long"),
-        first)
+    first = F.expr(f"(__cum - n_tokens) div {int(ctx)}")
+    last = F.greatest(F.expr(f"(__cum - 1) div {int(ctx)}"), first)
     return (d.select(
         "doc_id", "shard", "n_tokens",
         start.cast("long").alias("start_off"),
-        first.alias("chunk_first"), last.alias("chunk_last"),
+        first.cast("long").alias("chunk_first"),
+        last.cast("long").alias("chunk_last"),
         (last - first + 1).cast("long").alias("n_chunks")))
 
 
@@ -322,7 +371,8 @@ def top_ngram_char_fraction(df: DataFrame, ns: tuple[int, ...] = (2, 3, 4),
 
 def pack_efficiency(df: DataFrame, ctx: int = 512,
                     text_col: str = "text", doc_id: str = "doc_id",
-                    shard_col: str = "source") -> DataFrame:
+                    shard_col: str = "source",
+                    sub_shard: Column | str | None = None) -> DataFrame:
     """Per-shard packing-efficiency report over :func:`pack_token_stream`:
     how full the fixed ``ctx``-token context windows are, and how many
     docs straddle a chunk boundary (the padding-vs-splitting ledger a
@@ -332,9 +382,14 @@ def pack_efficiency(df: DataFrame, ctx: int = 512,
     hashpartitioning(shard) exchange (same key, no re-shuffle). All
     outputs exact integers except ``fill_frac`` — one exact int/int
     quotient emitted unrounded. An all-empty shard reports 0 chunks,
-    0 padding, NULL fill_frac."""
+    0 padding, NULL fill_frac. ``sub_shard`` passes through to
+    :func:`pack_token_stream` (skew defense; the ledger itself is
+    invariant to sub-sharding — chunk boundaries are per-shard)."""
+    if ctx <= 0:
+        raise ValueError(f"ctx must be a positive token count, got {ctx}")
     packed = pack_token_stream(df, ctx=ctx, text_col=text_col,
-                               doc_id=doc_id, shard_col=shard_col)
+                               doc_id=doc_id, shard_col=shard_col,
+                               sub_shard=sub_shard)
     agg = packed.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -455,6 +510,16 @@ def dsir_importance(df_raw: DataFrame, df_target: DataFrame,
     DOUBLE individually so both engines evaluate the identical float
     expression — and the per-doc score is an INT64 sum of
     count * micro (float log-sums would be partition-order-dependent).
+    Residual ln-rounding risk (ADVICE r4, accepted): unlike sqrt —
+    which IEEE 754 REQUIRES to be correctly rounded, so
+    ``source_mixture``'s floor(sqrt*1e6) is bit-identical cross-engine
+    — ln() carries no such guarantee; JVM StrictMath (fdlibm) and
+    DuckDB's platform libm may disagree by 1 ulp, flipping the FLOOR
+    only when ln(ratio)*1e6 sits within ~1 ulp (~4e-10 of an integer
+    for |logw| < ~1) of a grid boundary: P ~ 1e-9 per bucket per
+    engine pair, the same accepted class as the fft_features band-edge
+    note. A rational/exact-log spelling would need exp() on the other
+    side — the same non-guaranteed-rounding problem.
     Products stay under 2^53 while occurrence totals < ~9e15/count
     (documented precondition, cf. the variability family). Every raw
     doc is listed; gram-less docs score exactly 0."""

@@ -272,9 +272,13 @@ def semdedup(df: DataFrame, threshold: float = 0.95,
 
     Determinism: the flag compares the TRUE float cosine to the
     threshold (borderline pairs are centroid-perturbation-sensitive
-    ONLY through cluster membership; a planted exact/scaled copy shares
-    its original's centroid profile bit-for-bit, so copy-vs-original
-    pairs are immune — the certifiable invariant)."""
+    ONLY through cluster membership; a planted exact or POWER-OF-TWO-
+    scaled copy shares its original's centroid profile bit-for-bit —
+    2.0*x is exact in IEEE float, so each copy-vs-centroid cosine
+    scales numerator and denominator by exactly 2 and the quotient is
+    bit-identical — so copy-vs-original pairs are immune, the
+    certifiable invariant. A non-power-of-two scale rounds per
+    coordinate and the profile is only ulp-close; ADVICE r4)."""
     cnorm = _kmeans_centroids(df, id_col, vec_col, n_lists, seed,
                               max_train)
     listed = df.select(

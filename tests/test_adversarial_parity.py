@@ -959,3 +959,159 @@ def test_c4_line_dedup_parity(spark, duck, c4_dir):
     assert row(5) == (4, 0, 23, h("self\nself\nself\nunique five"))
     for i in (6, 7):                   # NULL/blank -> empty rewrite
         assert row(i) == (0, 0, 0, h(""))
+
+
+@pytest.fixture(scope="module")
+def skewed_shard_dir(spark, tmp_path_factory):
+    """90%-one-shard corpus — the pack_token_stream skew cliff (VERDICT
+    r4 #3): without mitigation the 'big' shard's cumsum serializes
+    through ONE reducer; with ``sub_shard`` active the stream is cut
+    into doc_id ranges and offsets are stitched by addition. Token
+    counts are deterministic-seeded and include zero-token docs at
+    sub-shard BOUNDARIES (ids 16/32: a sub-stream head whose cum-1
+    clamp must come from the STITCHED offset, not a local -1)."""
+    root = tmp_path_factory.mktemp("skewed")
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(400):
+        shard = "big" if i % 10 else f"side{i % 4}"
+        k = 0 if i in (16, 32) else int(rng.integers(0, 60))
+        rows.append((i, shard, " ".join(f"w{i}x{j}" for j in range(k))))
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_pack_subshard_skew_parity(spark, duck, skewed_shard_dir):
+    """The sub-sharded spelling must be BIT-IDENTICAL to both the
+    registered single-stream oracle and the single-stream engine
+    spelling (offsets compose by addition — the stitching contract),
+    on a corpus where one shard holds 90% of the rows."""
+    from pyspark.sql import functions as F
+
+    from ecg_feature_engineering_spark.operators import corpus
+
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                 f"'{skewed_shard_dir}/documents.parquet/*.parquet'")
+    d = spark.read.parquet(f"{skewed_shard_dir}/documents.parquet")
+    # mitigation active: doc_id ranges of 32 docs per sub-stream
+    sub = corpus.pack_token_stream(
+        d, ctx=512, shard_col="source",
+        sub_shard=F.expr("doc_id div 32"))
+    cols = ["doc_id", "shard", "n_tokens", "start_off",
+            "chunk_first", "chunk_last", "n_chunks"]
+    a = sub.toPandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    o = (duck.execute(contract.ORACLES["pack_token_stream"]).df()[cols]
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        a.astype("int64", errors="ignore").drop(columns=["shard"]),
+        o.astype("int64", errors="ignore").drop(columns=["shard"]))
+    assert list(a["shard"]) == list(o["shard"])
+    b = (corpus.pack_token_stream(d, ctx=512, shard_col="source")
+         .toPandas()[cols].sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # the skew is real: the big shard holds 90% of rows
+    assert (a["shard"] == "big").mean() == 0.9
+
+
+@pytest.fixture(scope="module")
+def curate_order_dir(spark, tmp_path_factory):
+    """Corpus engineered so each adjacent stage pair of corpus_curate is
+    ORDER-PINNED (VERDICT r4 #7) — a doc survives/dies differently if
+    any two stages were swapped:
+
+    - holdout-before-Gopher: benchmark doc 50 FAILS Gopher (symbol
+      spam) yet its grams must still decontaminate; doc 150 likewise.
+    - Gopher-before-scrub: doc 2 passes mean-word-length ONLY because
+      its long URL counts pre-scrub (post-scrub mean 16/6 < 3).
+    - scrub-before-dedup: docs 3/4 differ only in their URL; they
+      collapse to one fingerprint only AFTER scrubbing (keep id 3).
+    - dedup-drops-what-decontam-keeps: doc 4 (uncontaminated) dies at
+      stage 4 only; docs 1 and 5 (contaminated) die at stage 5 only.
+    - rates-on-SURVIVOR-mass: shard sB contains one huge contaminated
+      doc (id 5, 32k tokens, 100% benchmark-covered) that dies at
+      stage 5; sB's stage-6 keep rate must be computed WITHOUT it
+      (raw-mass rates would drop sB survivors that survivor-mass
+      rates keep — asserted via the exact integer mirror below)."""
+    root = tmp_path_factory.mktemp("curate_order")
+    cycle = "the alpha beta gamma delta epsilon zeta of"
+    rows = [
+        # benchmark (id % 50 == 0), both Gopher-FAILING
+        (50, "sA", cycle + " " + "# " * 10),
+        (150, "sA", "zeta of the alpha beta of " + "# " * 10),
+        # sA candidates
+        (1, "sA", cycle),                               # contaminated
+        (2, "sA", "the of http://example-host.com/aaaa aa bb cc"),
+        (3, "sA", "the fox of http://url-one.example.com runs far"),
+        (4, "sA", "the fox of http://url-two.example.com runs far"),
+        # sB: huge contaminated doc + small survivors
+        (5, "sB", (cycle + " ") * 4000),
+    ]
+    for j in range(10):                 # sB survivors: 30 tokens each
+        i = 6 + j
+        rows.append((i, "sB", "the of " + " ".join(
+            f"bword{i}x{k}" for k in range(28))))
+    for j in range(5):                  # sC survivors: 100 tokens each
+        i = 30 + j
+        rows.append((i, "sC", "the of " + " ".join(
+            f"cword{i}x{k}" for k in range(98))))
+    docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    docs["lang"] = "en"
+    docs["n_chars"] = docs["text"].str.len().astype("Int64")
+    spark.createDataFrame(docs).write.mode("overwrite") \
+        .parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_corpus_curate_stage_order_parity(spark, duck, curate_order_dir):
+    import hashlib
+    import math
+
+    contract.ensure_workers_can_import(spark)
+    duck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                 f"'{curate_order_dir}/documents.parquet/*.parquet'")
+    _compare(spark, duck, ["corpus_curate"], curate_order_dir)
+
+    out = (contract.QUERY_BUILDERS["corpus_curate"](
+        spark, curate_order_dir).toPandas().set_index("doc_id"))
+    got = set(out.index)
+
+    # ---- exact integer mirror of stages 1-6 (documented semantics) --
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                   16) % 1_000_000
+
+    def keep_micro(masses):
+        sq = {s: math.floor(math.sqrt(float(n)) * 1e6)
+              for s, n in masses.items()}
+        ratio = {s: (sq[s] * 1_000_000) // n if n > 0 else 0
+                 for s, n in masses.items()}
+        mx = max(ratio.values())
+        return {s: (ratio[s] * 1_000_000) // mx if mx else 0
+                for s in masses}
+
+    # survivors of stages 1-5 and their scrubbed token counts
+    surv = {2: ("sA", 6), 3: ("sA", 6)}
+    surv.update({6 + j: ("sB", 30) for j in range(10)})
+    surv.update({30 + j: ("sC", 100) for j in range(5)})
+    surv_mass = {"sA": 12, "sB": 300, "sC": 500}
+    keep = keep_micro(surv_mass)
+    expected = {i for i, (s, _) in surv.items() if bucket(i) < keep[s]}
+    assert got == expected
+
+    # stage-order pins (each would flip if two stages were swapped)
+    assert {1, 4, 5, 50, 150}.isdisjoint(got)
+    assert 2 in expected and 3 in expected      # sA keeps 100% (smallest)
+    assert 2 in got and 3 in got
+    # fixture validity: RAW-mass rates (the wrong semantics) must
+    # actually discriminate — at least one sB survivor flips
+    raw_mass = {"sA": 26, "sB": 300 + 32000, "sC": 500}
+    wrong = {i for i, (s, _) in surv.items()
+             if bucket(i) < keep_micro(raw_mass)[s]}
+    assert wrong != expected
+    flipped = expected - wrong
+    assert any(surv[i][0] == "sB" for i in flipped), flipped

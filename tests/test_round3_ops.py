@@ -152,43 +152,30 @@ def test_certification_window_composition():
     # every query past slot 50 is oracle-backed too — after the r4
     # rotation NOTHING registered is oracle-less
     assert all(n in o for n in names[50:])
-    # the r4 window must lead with the two changed-contract FFT queries
-    # and contain every late-r3 never-driver-run query (VERDICT r3 #2)
-    late_r3 = [
-        "dup_clusters", "audio_decode_stats", "audio_spectral",
-        "audio_resample", "audio_transcode_snr", "video_stats",
-        "video_frame_sample", "gopher_quality", "pii_scrub",
-        "dup_ngram_fraction", "approx_distinct_docs", "doc_quantiles",
-        "jsonl_roundtrip", "orc_roundtrip", "salted_skew_counts",
-        "time_features", "winsorize_events", "ewma_events",
-        "rank_features", "embedding_centroids", "target_encoding_pit",
-        "expanding_zscore", "stratified_sample", "daily_type_rollup_outer",
-        "quantile_buckets", "winnow_fingerprints", "winnow_match_pairs",
-        "decode_quarantine", "ohlc_time_bars",
+    # the r5 window must lead with the 16 r4 corpus-module queries — the
+    # only never-driver-run queries left (VERDICT r4 next-round #1)
+    corpus_r4 = [
+        "tfidf_top_terms", "bm25_scores", "benchmark_contamination",
+        "pack_token_stream", "line_repetition", "top_ngram_stats",
+        "pack_efficiency", "source_mixture", "paragraph_dedup",
+        "dsir_importance", "domain_mix", "mixture_sample", "corpus_curate",
+        "c4_line_dedup", "semdedup", "chunk_overlap_spans",
     ]
-    assert window[:2] == ["fft_features", "fft_band_power"]
-    assert all(n in window for n in late_r3)
-    # the r4 window is FROZEN — position-pinned so registry edits cannot
+    assert window[:16] == corpus_r4
+    # the r5 window is FROZEN — position-pinned so registry edits cannot
     # silently displace what the driver will certify (COVERAGE.md ledger)
-    assert window == [
-        "fft_features", "fft_band_power",
-        "dup_clusters",
-        "audio_decode_stats", "audio_spectral", "audio_resample",
-        "audio_transcode_snr", "video_stats", "video_frame_sample",
-        "gopher_quality", "pii_scrub", "dup_ngram_fraction",
-        "approx_distinct_docs", "doc_quantiles", "jsonl_roundtrip",
-        "orc_roundtrip", "salted_skew_counts", "time_features",
-        "winsorize_events", "ewma_events", "rank_features",
-        "embedding_centroids", "target_encoding_pit", "expanding_zscore",
-        "stratified_sample", "daily_type_rollup_outer", "quantile_buckets",
-        "winnow_fingerprints", "winnow_match_pairs", "decode_quarantine",
-        "ohlc_time_bars",
+    assert window == corpus_r4 + [
         "tpch_pricing_summary", "asof_backward", "anchor_window_aggs",
         "hrv_features", "basic_stats", "sliding_segments", "langid",
         "quality_features", "dedup_exact", "minhash_lsh",
         "simhash_near_dups", "cosine_topk", "lsh_topk",
         "image_decode_stats", "image_psnr_roundtrip", "flagship",
         "wavelet_stats", "hash_split", "auc_scores",
+        "fft_features", "audio_decode_stats", "video_stats",
+        "time_features", "ohlc_time_bars", "winnow_match_pairs",
+        "decode_quarantine", "gopher_quality", "pii_scrub",
+        "salted_skew_counts", "target_encoding_pit", "sample_entropy",
+        "sessionize", "dup_ngram_fraction", "embedding_centroids",
     ]
 
 
