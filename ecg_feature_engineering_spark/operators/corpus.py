@@ -173,12 +173,16 @@ def benchmark_contamination(df: DataFrame, benchmark: DataFrame,
     candidate training doc, the fraction of its distinct word n-grams
     that appear in ANY benchmark document, plus a contaminated flag.
 
-    100 TB shape: one shingle explode per side, one distinct agg over the
-    (small) benchmark gram set, one equi-join on the gram key — the
-    benchmark side is tiny relative to the corpus (AQE broadcasts it;
-    no hint, so a pathologically large benchmark degrades to a sane
-    shuffle join instead of OOMing the driver, the ``without_quarantined``
-    rationale).
+    100 TB shape: ONE shingle explode over the candidate corpus (the
+    2M-doc profile showed the previous two-branch spelling — separate
+    ``totals`` and ``hits`` aggregations — re-running the explode AND
+    the whole upstream candidate subtree twice, and it was the
+    worst-scaling stage of the curation pipeline at 4→16 cores), one
+    distinct agg over the (small) benchmark gram set, one LEFT
+    marker-join on the gram key, one doc-keyed count agg. The benchmark
+    side is tiny relative to the corpus (AQE broadcasts it; no hint, so
+    a pathologically large benchmark degrades to a sane shuffle join
+    instead of OOMing the driver, the ``without_quarantined`` rationale).
 
     Exactness: counts are ints; ``contam_frac`` is ONE exact int/int
     quotient emitted unrounded (bit-identical cross-engine, CLAUDE.md);
@@ -186,21 +190,10 @@ def benchmark_contamination(df: DataFrame, benchmark: DataFrame,
     integers — never the float. Docs with NULL text surface with
     n_grams 0 and NULL fraction (a decontamination report must list
     every candidate doc, not silently drop the undecodable ones)."""
-    from ecg_feature_engineering_spark.operators.dedup import word_shingles
-
     cand = df.select(F.col(doc_id).alias("doc_id"), text_col)
-    sh = word_shingles(cand, text_col, n=n, out="gram") \
-        .select("doc_id", "gram")
-    bench_grams = (word_shingles(
-        benchmark.select(F.col(doc_id).alias("doc_id"), text_col),
-        text_col, n=n, out="gram")
-        .select("gram").distinct())
-
-    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (sh.join(bench_grams, "gram")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_contam")))
+    counts = _contamination_counts(df, benchmark, text_col, doc_id, n)
     out = (cand.select("doc_id")
-           .join(totals, "doc_id", "left").join(hits, "doc_id", "left")
+           .join(counts, "doc_id", "left")
            .select(
                "doc_id",
                F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
@@ -215,6 +208,51 @@ def benchmark_contamination(df: DataFrame, benchmark: DataFrame,
                * F.lit(int(threshold_pct))))
     return out.withColumns({"contam_frac": frac,
                             "contaminated": flag})
+
+
+def _contamination_counts(df: DataFrame, benchmark: DataFrame,
+                          text_col: str, doc_id: str,
+                          n: int) -> DataFrame:
+    """(doc_id, n_grams, n_contam) for every candidate doc with >= 1
+    shingle (null-text docs produce no shingles and are absent — the
+    public report restores them via its list-every-doc left join).
+    One candidate-side explode: each distinct (doc, gram) row is
+    LEFT-joined against the distinct benchmark gram set carrying a
+    constant marker, so a single count/count(marker) agg yields both
+    totals — gram multiplicity stays 1 because BOTH sides are distinct
+    (``word_shingles`` array_distincts per doc)."""
+    from ecg_feature_engineering_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(
+        df.select(F.col(doc_id).alias("doc_id"), text_col),
+        text_col, n=n, out="gram").select("doc_id", "gram")
+    bench_grams = (word_shingles(
+        benchmark.select(F.col(doc_id).alias("doc_id"), text_col),
+        text_col, n=n, out="gram")
+        .select("gram").distinct()
+        .withColumn("__hit", F.lit(1)))
+    return (sh.join(bench_grams, "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count("__hit").alias("n_contam")))
+
+
+def contaminated_ids(df: DataFrame, benchmark: DataFrame,
+                     text_col: str = "text", doc_id: str = "doc_id",
+                     n: int = 3, threshold_pct: int = 80) -> DataFrame:
+    """Just the doc_ids the decontamination stage REMOVES — the pipeline
+    spelling (plans/corpus_pipeline.survivors): the contaminated set is
+    small, so the caller anti-joins it (AQE broadcasts it) instead of
+    semi-joining the ~corpus-sized clean-id set back through a shuffle;
+    and the list-every-doc left join of the public report is skipped —
+    a doc with zero grams can never be contaminated (``n_grams > 0`` is
+    implied by presence in the counts table). Exactly equal to
+    ``benchmark_contamination(...).where(contaminated).select(doc_id)``
+    (pinned in tests/test_round3_ops.py)."""
+    counts = _contamination_counts(df, benchmark, text_col, doc_id, n)
+    return (counts.where(F.col("n_contam") * 100
+                         >= F.col("n_grams") * F.lit(int(threshold_pct)))
+            .select(F.col("doc_id").alias(doc_id)))
 
 
 def pack_token_stream(df: DataFrame, ctx: int = 512,

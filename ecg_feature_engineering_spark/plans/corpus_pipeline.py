@@ -68,13 +68,16 @@ def survivors(docs: DataFrame, bench_mod: int = 50,
 
     deduped = dedup.dedup_exact(scrubbed, text_col, doc_id)
 
-    cont = corpus.benchmark_contamination(deduped, bench, text_col,
-                                          doc_id, n=3, threshold_pct=80)
-    # contamination output carries the fixed "doc_id" name — alias it
-    # back to the caller's id column for the semi-join
-    clean_ids = (cont.where(~F.col("contaminated"))
-                 .select(F.col("doc_id").alias(doc_id)))
-    return deduped.join(clean_ids, doc_id, "left_semi")
+    # anti-join the SMALL contaminated-id set (AQE broadcasts it)
+    # instead of semi-joining the ~corpus-sized clean-id set: equal
+    # output (every candidate appears exactly once in the report with a
+    # non-null flag; pinned in tests/test_round3_ops.py), one fewer
+    # consumption of the deduped subtree and no doc_id shuffle of the
+    # survivor mass. 2M-doc profile: survivors 137 s -> the contaminated
+    # branch was the worst 4->16 scaler of the whole pipeline.
+    bad_ids = corpus.contaminated_ids(deduped, bench, text_col, doc_id,
+                                      n=3, threshold_pct=80)
+    return deduped.join(bad_ids, doc_id, "left_anti")
 
 
 def pack_survivors(clean: DataFrame, ctx: int = 512,

@@ -321,3 +321,52 @@ def test_drop_near_dups_keeps_canonical_and_singletons(spark):
     kept = sorted(r["doc_id"]
                   for r in dedup.drop_near_dups(docs, pairs).collect())
     assert kept == [0, 1, 4, 5]  # 1 = cluster canonical; 0/4/5 singletons
+
+
+def test_contaminated_ids_equals_report_filter(spark, sf_dir):
+    """The pipeline spelling (corpus.contaminated_ids -> left_anti in
+    corpus_pipeline.survivors) must equal the public report filtered to
+    contaminated=true — and semi(clean) == anti(contaminated) holds
+    because the report lists every candidate exactly once with a
+    non-null flag. Pinned on a corpus with a NULL-text doc (absent from
+    the one-pass counts table) and a custom id column name (the
+    double-alias regression)."""
+    from pyspark.sql import functions as F
+
+    from ecg_feature_engineering_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.select(F.col("doc_id").alias("my_id"), "text").unionAll(
+        spark.createDataFrame([(10 ** 9, None)], "my_id long, text string"))
+    bench = docs.where(F.pmod(F.col("my_id"), F.lit(7)) == 0)
+    cand = docs.where(F.pmod(F.col("my_id"), F.lit(7)) != 0)
+
+    report = corpus.benchmark_contamination(
+        cand, bench, "text", "my_id", n=3, threshold_pct=80)
+    # every candidate listed exactly once, flag never null
+    assert report.count() == cand.count()
+    assert report.where(F.col("contaminated").isNull()).count() == 0
+    # the null-text doc is listed with zero grams and NULL fraction
+    nullrow = report.where(F.col("doc_id") == 10 ** 9).collect()
+    assert len(nullrow) == 1 and nullrow[0].n_grams == 0
+    assert nullrow[0].contam_frac is None and not nullrow[0].contaminated
+
+    via_report = sorted(
+        r.doc_id for r in
+        report.where(F.col("contaminated")).select("doc_id").collect())
+    via_ids = sorted(
+        r.my_id for r in
+        corpus.contaminated_ids(cand, bench, "text", "my_id",
+                                n=3, threshold_pct=80).collect())
+    assert via_ids == via_report and len(via_ids) > 0
+
+    # semi(clean) == anti(contaminated) on the survivor mass
+    clean = (report.where(~F.col("contaminated"))
+             .select(F.col("doc_id").alias("my_id")))
+    semi = cand.join(clean, "my_id", "left_semi")
+    anti = cand.join(
+        corpus.contaminated_ids(cand, bench, "text", "my_id",
+                                n=3, threshold_pct=80),
+        "my_id", "left_anti")
+    assert (sorted(r.my_id for r in semi.select("my_id").collect())
+            == sorted(r.my_id for r in anti.select("my_id").collect()))
