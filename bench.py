@@ -95,7 +95,15 @@ E2E_AUDIT_STAGE = os.environ.get(
 # skip just this block.
 CORPUS_AUDIT_REPLICAS = int(
     os.environ.get("BENCH_CORPUS_AUDIT_REPLICAS", "400"))
-CORPUS_AUDIT_PAIRS = int(os.environ.get("BENCH_CORPUS_AUDIT_PAIRS", "2"))
+# 3 pairs + trimmed-min (trim=1) since the r5 validation run: its 2-pair
+# capture read 0.673 min-based while its own samples showed a mid-run
+# box-state shift (4-core 319.8 -> 393.5 s, +23% for identical work; the
+# Spark-free control measured the HOST 1.4-1.7x slower across the same
+# hours) — with 2 pairs the min estimator can pair a slow-window lo
+# minimum against a clean-window hi minimum. Per-stage wall seconds are
+# recorded per sample so a sub-0.8 capture still carries its record-K
+# style attribution (survivors-checkpoint write vs pack compute).
+CORPUS_AUDIT_PAIRS = int(os.environ.get("BENCH_CORPUS_AUDIT_PAIRS", "3"))
 CORPUS_AUDIT_STAGE = os.environ.get(
     "BENCH_CORPUS_AUDIT_STAGE",
     f"/tmp/spark_graft_corpus_{CORPUS_AUDIT_REPLICAS}x")
@@ -288,6 +296,24 @@ def box_ceiling(pairs=((4, 16), (8, 32))) -> dict:
     return out
 
 
+# BENCH_r04's driver capture timed the Spark-free 16-process control
+# (1600 reps of the identical per-image kernel workload) at 6.99 s. Re-
+# running that EXACT workload next to the headline passes pins the host's
+# state during THIS capture against the r4 driver window, so an absolute
+# headline delta is attributable (slowdown_vs_r4 ~1.0 -> comparable
+# windows; ~1.5 -> the box, not the code — this VM drifts 1.4-1.7x for
+# hours at a time, measured r5 validation run).
+HEADLINE_BOXPROBE_R4_SEC = 6.99
+
+
+def _headline_box_probe() -> float:
+    from ecg_feature_engineering_spark.datagen import images as dg
+
+    rows = [dg.gen_image_row(42, i, 50, 24, 32) for i in range(200)]
+    blob = [(r["bytes"], r["fmt"], r["phash"]) for r in rows]
+    return round(_ceiling_pool_run(16, blob, 1600), 2)
+
+
 def _scaling_run_once(sf_dir: str, cores: int,
                       kernel_only: bool = False,
                       stage: str | None = None,
@@ -408,11 +434,15 @@ def _stage_corpus(sf_dir: str, replicas: int, stage: str) -> int:
     return n
 
 
-def _corpus_job_once(cores: int) -> float:
+def _corpus_job_once(cores: int) -> tuple[float, float, float]:
     """One wall sample of the checkpointed two-stage corpus_job shape:
     survivors -> StageCheckpointer parquet materialization -> read-back
     -> mixture downsample + packing (noop sink). Fresh session, fresh
-    checkpoint root (resume must not skip work), warm-up slice first."""
+    checkpoint root (resume must not skip work), warm-up slice first.
+    Returns (total, survivors_stage, pack_stage) wall seconds — the split
+    is the audit trail: the survivors half carries the checkpoint parquet
+    WRITE (single-box disk bandwidth, which multiplies with hosts on a
+    real cluster), the pack half is read-back + mixture + packing."""
     import shutil
     import tempfile
 
@@ -436,19 +466,23 @@ def _corpus_job_once(cores: int) -> float:
     try:
         def job(d, root):
             cp = StageCheckpointer(spark, root)
+            t0 = time.time()
             clean = cp.run("survivors",
                            lambda: corpus_pipeline.survivors(d))
+            t1 = time.time()
             materialize(corpus_pipeline.pack_survivors(clean))
+            t2 = time.time()
+            return t1 - t0, t2 - t1
 
         job(docs.limit(512), roots[0])           # plan/codegen warm-up
         t0 = time.time()
-        job(docs, roots[1])
+        dt_surv, dt_pack = job(docs, roots[1])
         dt = time.time() - t0
     finally:
         stop_spark()
         for r in roots:
             shutil.rmtree(r, ignore_errors=True)
-    return dt
+    return dt, dt_surv, dt_pack
 
 
 def corpus_e2e_audit(sf_dir: str) -> dict | None:
@@ -463,11 +497,16 @@ def corpus_e2e_audit(sf_dir: str) -> dict | None:
     lo, hi = 4, 16
     s_lo: list[float] = []
     s_hi: list[float] = []
+    stages: dict[int, list[tuple[float, float]]] = {lo: [], hi: []}
     for rep in range(CORPUS_AUDIT_PAIRS):
         order = (lo, hi) if rep % 2 == 0 else (hi, lo)
         for cores in order:
-            (s_lo if cores == lo else s_hi).append(_corpus_job_once(cores))
+            dt, dt_surv, dt_pack = _corpus_job_once(cores)
+            (s_lo if cores == lo else s_hi).append(dt)
+            stages[cores].append((dt_surv, dt_pack))
     eff = round(min(s_lo) / (4 * min(s_hi)), 3)
+    trim = 1 if CORPUS_AUDIT_PAIRS >= 3 else 0
+    eff_trimmed, kept = _trimmed_min_eff(s_lo, s_hi, trim)
     return {
         "job": "corpus_job two-stage checkpointed curation"
                " (survivors materialized once)",
@@ -476,7 +515,17 @@ def corpus_e2e_audit(sf_dir: str) -> dict | None:
         "cores_4n": hi,
         "sec_n_samples": [round(s, 2) for s in s_lo],
         "sec_4n_samples": [round(s, 2) for s in s_hi],
-        "scaling_efficiency": eff,
+        # per-sample (survivors_stage, pack_stage) wall seconds: the
+        # survivors half carries the checkpoint parquet WRITE (single-box
+        # disk bandwidth — multiplies with hosts on a real cluster), the
+        # pack half is read-back + mixture + packing. Record-K-style
+        # attribution for any sub-0.8 capture.
+        "stage_sec_n": [[round(a, 2), round(b, 2)] for a, b in stages[lo]],
+        "stage_sec_4n": [[round(a, 2), round(b, 2)] for a, b in stages[hi]],
+        "scaling_efficiency": eff_trimmed,
+        "scaling_efficiency_untrimmed": eff,
+        "trim_pairs": trim,
+        "kept_pair_indices": kept,
         "pair_efficiencies": [round(a / (4 * b), 3)
                               for a, b in zip(s_lo, s_hi)],
         "docs_per_sec_n": round(n_docs / min(s_lo), 1),
@@ -691,11 +740,13 @@ def main():
     n_passes = int(os.environ.get("BENCH_HEADLINE_PASSES", "2"))
     timings: dict[str, float] = {}
     minhash_md5_sec = float("inf")
+    probe_pre = _headline_box_probe()
     for _ in range(max(n_passes, 1)):
         t, md5s = headline_pass()
         minhash_md5_sec = min(minhash_md5_sec, md5s)
         for k, v in t.items():
             timings[k] = min(timings.get(k, float("inf")), v)
+    probe_post = _headline_box_probe()
 
     flagship_sec = timings["flagship"]
     total = round(sum(timings.values()), 3)
@@ -715,6 +766,17 @@ def main():
         # md5-oracle MinHash twin, reported OUTSIDE the summed total
         # (the headline's minhash_lsh is the production xxhash64 arm)
         "minhash_lsh_md5_sec": minhash_md5_sec,
+        # host-state audit: the r4 driver window's exact Spark-free
+        # control workload re-timed around THIS capture's headline passes
+        # (see _headline_box_probe). slowdown_vs_r4 ~1.0 means the
+        # absolute headline seconds are window-comparable to BENCH_r04.
+        "box_state_probe": {
+            "sec_pre": probe_pre,
+            "sec_post": probe_post,
+            "r4_driver_ref_sec": HEADLINE_BOXPROBE_R4_SEC,
+            "slowdown_vs_r4": round(
+                min(probe_pre, probe_post) / HEADLINE_BOXPROBE_R4_SEC, 2),
+        },
     }
     if scaling:
         out["scaling"] = scaling
