@@ -14,11 +14,14 @@ Scaling evidence (north rule, sandbox stand-in for N vs 4N executors):
   SPARK_GRAFT_CPUS=32 python bench.py  # 4N
 results summarized in BENCH.md.
 
-Runtime/footprint: full run ~25-30 min (scaling block with interleaved
-4/16-core pairs + 2M-image e2e audit + 2-pass headline) and ~7 GB of
-staged corpora under /tmp (once, reused across runs).
+Runtime/footprint: full run ~60-75 min with the round-5 estimator
+config (10 interleaved 4/16-core kernel pairs + 2M-image e2e audit +
+3-pair checkpointed 2M-doc corpus audit + 2-pass headline with box-state
+probes) and ~7 GB of staged corpora under /tmp (once, reused across
+runs; keyed by datagen content hash).
 BENCH_SKIP_SCALING=1 -> headline-only (~5 min);
-BENCH_E2E_AUDIT_PAIRS=0 -> skip just the 2M audit.
+BENCH_E2E_AUDIT_PAIRS=0 -> skip just the 2M image audit;
+BENCH_CORPUS_AUDIT_PAIRS=0 -> skip just the corpus audit.
 """
 
 from __future__ import annotations
