@@ -62,9 +62,11 @@ def _counts(df):
     # packing: ONE shard-window shuffle — a global cumsum (the naive
     # spelling) would show up here as a SinglePartition exchange
     ("pack_token_stream", 1, 0),
-    # decontamination: benchmark-distinct agg + the two doc-keyed count
-    # aggs; the gram join itself must stay broadcast/equi (a 4th
-    # exchange or a cartesian = the O(corpus x benchmark) regression)
+    # decontamination (one-pass spelling): benchmark-distinct agg + the
+    # single doc-keyed count(marker) agg + the list-every-doc left
+    # join's exchange; the gram join itself must stay broadcast/equi (a
+    # 4th exchange or a cartesian = the O(corpus x benchmark)
+    # regression)
     ("benchmark_contamination", 3, 0),
     # line repetition is within-document: scan-local like dup_ngram
     ("line_repetition", 0, 0),
