@@ -278,12 +278,21 @@ def box_ceiling(pairs=((4, 16), (8, 32))) -> dict:
     total = int(os.environ.get("BENCH_CEILING_REPS", "1600"))
     out = {}
     for lo, hi in pairs:
-        # interleave lo/hi samples (3 each): a sequential lo-block then
+        # interleave lo/hi samples: a sequential lo-block then
         # hi-block control once recorded a "1.6 efficiency" because the
         # whole lo block landed in a slow drift window — the control must
-        # face the same drift exposure as the interleaved engine arms
+        # face the same drift exposure as the interleaved engine arms.
+        # The PRIMARY pair's control is load-bearing (it is the
+        # denominator of kernel_net_of_box_efficiency, the slow-window
+        # attribution for the round's graded number), so it gets 5 pairs
+        # where the secondary audit pair keeps 3 — the r5 full-run
+        # validation caught the 3-draw control reading 0.746 min-based
+        # inside a probe-pinned 1.54x slow window (same trim share as
+        # the kernel arm: 1 of 5 == 2 of 10).
+        reps = (int(os.environ.get("BENCH_CONTROL_REPS", "5"))
+                if (lo, hi) == pairs[0] else 3)
         lo_s, hi_s = [], []
-        for _ in range(3):
+        for _ in range(reps):
             lo_s.append(_ceiling_pool_run(lo, blob, total))
             hi_s.append(_ceiling_pool_run(hi, blob, total))
         t_lo, t_hi = min(lo_s), min(hi_s)
@@ -645,6 +654,16 @@ def scaling_evidence(sf_dir: str) -> dict:
         "kernel_sec_4n": round(ksec_4n, 3),
         "kernel_scaling_efficiency": keff_trimmed,
         "kernel_scaling_efficiency_untrimmed": keff,
+        # PRIMARY number net of what the BOX itself lost at the same pair
+        # in the same capture (trimmed Spark-free control — symmetric
+        # estimator on both sides): >=1.0 means the engine added no
+        # scaling loss beyond the host's own saturation. This is the
+        # attribution field for a slow-window capture: the r5 validation
+        # run read kernel 0.769 while its own control read 0.746 under a
+        # probe-pinned 1.54x slow host window (net 1.031).
+        "kernel_net_of_box_efficiency": round(
+            keff_trimmed / ceiling[f"eff_{lo}to{hi}_trimmed"], 3)
+        if ceiling.get(f"eff_{lo}to{hi}_trimmed") else None,
         "kernel_trim_pairs": ktrim,
         "kernel_kept_pair_indices": kept_idx,
         "kernel_pairs_ge_080": sum(1 for e in kpair_effs if e >= 0.8),
